@@ -1,0 +1,41 @@
+"""Test configuration: force JAX onto an 8-device virtual CPU platform.
+
+Tests must run without TPU hardware; multi-chip sharding is exercised on
+a virtual 8-device CPU mesh (SURVEY §4's implication: emulate the core
+group split without a pod). The axon sitecustomize registers a TPU
+backend eagerly, so the platform override must happen via jax.config
+before any backend query, not via environment variables alone.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import pathlib
+
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+FIXTURE_OPUS = pathlib.Path("/root/reference/tests/assets/test.opus")
+
+
+@pytest.fixture(scope="session")
+def fixture_opus() -> pathlib.Path:
+    if not FIXTURE_OPUS.exists():
+        pytest.skip("reference opus fixture not available")
+    return FIXTURE_OPUS
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    devices = jax.devices()
+    assert len(devices) == 8, devices
+    return devices
