@@ -1,0 +1,110 @@
+import numpy as np
+import pytest
+
+from whisper_nemo_tpu.diarize.clustering import (
+    binarize_top_p,
+    cosine_affinity,
+    estimate_num_speakers,
+    eigen_decompose,
+    laplacian,
+    longform_cluster,
+    nme_spectral_clustering,
+    nmesc_search,
+    spectral_cluster,
+)
+
+
+def _gaussian_speakers(n_per, n_spk, dim=32, sep=5.0, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_spk, dim)) * sep
+    embs, labels = [], []
+    for k in range(n_spk):
+        embs.append(centers[k] + rng.standard_normal((n_per, dim)))
+        labels += [k] * n_per
+    return np.concatenate(embs).astype(np.float32), np.array(labels)
+
+
+def _clustering_accuracy(pred, true):
+    """Best-permutation accuracy (small label sets)."""
+    from itertools import permutations
+
+    best = 0.0
+    for perm in permutations(range(max(pred.max(), true.max()) + 1)):
+        mapped = np.array([perm[p] for p in pred])
+        best = max(best, (mapped == true).mean())
+    return best
+
+
+def test_cosine_affinity_range():
+    embs = np.random.default_rng(0).standard_normal((10, 8)).astype(np.float32)
+    aff = cosine_affinity(embs)
+    assert aff.shape == (10, 10)
+    np.testing.assert_allclose(np.diag(aff), 1.0, atol=1e-5)
+    assert np.abs(aff).max() <= 1.0 + 1e-5
+
+
+def test_binarize_symmetric():
+    aff = cosine_affinity(
+        np.random.default_rng(1).standard_normal((12, 6)).astype(np.float32)
+    )
+    b = binarize_top_p(aff, 3)
+    np.testing.assert_allclose(b, b.T)
+    assert set(np.unique(b)).issubset({0.0, 0.5, 1.0})
+
+
+def test_eigengap_counts_components():
+    # block-diagonal affinity with 3 disconnected cliques
+    blocks = [np.ones((4, 4)), np.ones((5, 5)), np.ones((3, 3))]
+    n = sum(b.shape[0] for b in blocks)
+    aff = np.zeros((n, n))
+    off = 0
+    for b in blocks:
+        k = b.shape[0]
+        aff[off : off + k, off : off + k] = b
+        off += k
+    evals, _ = eigen_decompose(laplacian(aff))
+    k, gap = estimate_num_speakers(evals, 8)
+    assert k == 3
+    assert gap > 1.0
+
+
+def test_nme_clustering_recovers_speakers():
+    for n_spk in (2, 3, 4):
+        embs, true = _gaussian_speakers(30, n_spk, seed=n_spk)
+        pred = nme_spectral_clustering(embs, max_num_speakers=8)
+        assert len(np.unique(pred)) == n_spk
+        assert _clustering_accuracy(pred, true) > 0.95
+
+
+def test_oracle_num_speakers_forced():
+    embs, true = _gaussian_speakers(20, 2, seed=7)
+    pred = nme_spectral_clustering(embs, num_speakers=2)
+    assert len(np.unique(pred)) == 2
+    assert _clustering_accuracy(pred, true) > 0.95
+
+
+def test_single_and_pair_edge_cases():
+    one = nme_spectral_clustering(np.ones((1, 8), np.float32))
+    assert one.tolist() == [0]
+    same = np.ones((2, 8), np.float32)
+    assert nme_spectral_clustering(same).tolist() == [0, 0]
+    opposite = np.array([[1.0] * 8, [-1.0] * 8], np.float32)
+    assert nme_spectral_clustering(opposite).tolist() == [0, 1]
+
+
+def test_longform_overclustering_path():
+    embs, true = _gaussian_speakers(300, 2, seed=3)
+    pred = longform_cluster(
+        embs, embeddings_per_chunk=100, chunk_cluster_count=10
+    )
+    assert len(pred) == len(true)
+    assert len(np.unique(pred)) == 2
+    assert _clustering_accuracy(pred, true) > 0.9
+
+
+def test_nmesc_search_returns_valid_p():
+    embs, _ = _gaussian_speakers(25, 2, seed=5)
+    aff = cosine_affinity(embs)
+    p, n_spk = nmesc_search(aff, 8, 0.25, 10)
+    assert 1 <= p <= len(aff) * 0.25 + 1
+    assert n_spk == 2

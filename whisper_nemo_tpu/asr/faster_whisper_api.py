@@ -1,0 +1,102 @@
+"""faster-whisper–compatible facade over the TPU engine.
+
+Drop-in for the API surface the reference CLI exercises
+(diarize.py:121-147):
+
+    model = WhisperModel(name, device=..., compute_type=...)
+    pipeline = BatchedInferencePipeline(model)
+    audio = decode_audio(path)
+    segments, info = pipeline.transcribe(audio, language,
+                                         suppress_tokens=..., batch_size=8)
+    segments, info = model.transcribe(audio, language,
+                                      suppress_tokens=..., vad_filter=True)
+    model.hf_tokenizer  # vocab scan for suppress lists
+
+``segments`` is an iterable of objects with ``.text``/``.start``/
+``.end`` etc.; ``info.language`` carries the detected language.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..engine.transcribe import Segment, TranscriptionInfo, WhisperEngine
+
+
+class WhisperModel:
+    def __init__(
+        self,
+        model_size_or_path: str = "tiny",
+        device: str = "auto",
+        device_index: int = 0,
+        compute_type: str = "default",
+        **_ignored,
+    ):
+        # ``device`` is accepted for CLI compatibility; placement on TPU
+        # is governed by jax's platform selection and the mesh config.
+        self.engine = WhisperEngine(model_size_or_path, compute_type)
+        self.model_size = model_size_or_path
+
+    @property
+    def hf_tokenizer(self):
+        """Tokenizer exposing ``get_vocab()`` (reference diarize.py:127)."""
+        return self.engine.tokenizer
+
+    def transcribe(
+        self,
+        audio: np.ndarray,
+        language: Optional[str] = None,
+        task: str = "transcribe",
+        suppress_tokens: Sequence[int] = (-1,),
+        vad_filter: bool = False,
+        without_timestamps: bool = False,
+        temperature: Sequence[float] | float = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        compression_ratio_threshold: float = 2.4,
+        log_prob_threshold: float = -1.0,
+        no_speech_threshold: float = 0.6,
+        condition_on_previous_text: bool = True,
+        **_ignored,
+    ) -> Tuple[Iterable[Segment], TranscriptionInfo]:
+        if isinstance(temperature, (int, float)):
+            temperature = (float(temperature),)
+        segments, info = self.engine.transcribe_sequential(
+            np.asarray(audio, np.float32),
+            language=language,
+            suppress_tokens=tuple(suppress_tokens),
+            vad_filter=vad_filter,
+            temperatures=tuple(temperature),
+            compression_ratio_threshold=compression_ratio_threshold,
+            logprob_threshold=log_prob_threshold,
+            no_speech_threshold=no_speech_threshold,
+            condition_on_previous_text=condition_on_previous_text,
+            without_timestamps=without_timestamps,
+        )
+        return iter(segments), info
+
+
+class BatchedInferencePipeline:
+    """Batched VAD-windowed inference (reference diarize.py:124,132-138)."""
+
+    def __init__(self, model: WhisperModel):
+        self.model = model
+
+    def transcribe(
+        self,
+        audio: np.ndarray,
+        language: Optional[str] = None,
+        task: str = "transcribe",
+        suppress_tokens: Sequence[int] = (-1,),
+        batch_size: int = 8,
+        without_timestamps: bool = True,
+        **_ignored,
+    ) -> Tuple[Iterable[Segment], TranscriptionInfo]:
+        segments, info = self.model.engine.transcribe_batched(
+            np.asarray(audio, np.float32),
+            language=language,
+            suppress_tokens=tuple(suppress_tokens),
+            batch_size=batch_size,
+            without_timestamps=without_timestamps,
+        )
+        return iter(segments), info

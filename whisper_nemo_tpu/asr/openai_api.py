@@ -1,0 +1,87 @@
+"""openai-whisper–compatible facade over the TPU engine.
+
+Drop-in for the dict contract the reference serverless handler consumes
+(main.py:381-391, 405-411, 445):
+
+    model = load_model("large-v2", device)
+    result = model.transcribe(path, language=..., fp16=True,
+                              condition_on_previous_text=False,
+                              no_speech_threshold=0.6,
+                              logprob_threshold=-1.0,
+                              compression_ratio_threshold=2.4,
+                              temperature=0.0, verbose=False)
+    result["text"], result["segments"][i]["start"/"end"/"text"/
+    "no_speech_prob"], result["language"]
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+from ..audio.decode import decode_audio
+from ..engine.transcribe import WhisperEngine
+
+
+class OpenAIWhisperModel:
+    def __init__(self, name: str, device: Optional[str] = None):
+        compute = "bfloat16" if name.startswith("large") else "default"
+        self.engine = WhisperEngine(name, compute)
+        self.name = name
+
+    def transcribe(
+        self,
+        audio: Union[str, np.ndarray],
+        language: Optional[str] = None,
+        task: str = "transcribe",
+        fp16: bool = True,
+        condition_on_previous_text: bool = True,
+        no_speech_threshold: float = 0.6,
+        logprob_threshold: float = -1.0,
+        compression_ratio_threshold: float = 2.4,
+        temperature: Union[float, Sequence[float]] = (
+            0.0, 0.2, 0.4, 0.6, 0.8, 1.0,
+        ),
+        verbose: Optional[bool] = None,
+        **_ignored,
+    ) -> dict:
+        if isinstance(audio, str):
+            audio = decode_audio(audio)
+        if isinstance(temperature, (int, float)):
+            temperature = (float(temperature),)
+        segments, info = self.engine.transcribe_sequential(
+            np.asarray(audio, np.float32),
+            language=language,
+            temperatures=tuple(temperature),
+            compression_ratio_threshold=compression_ratio_threshold,
+            logprob_threshold=logprob_threshold,
+            no_speech_threshold=no_speech_threshold,
+            condition_on_previous_text=condition_on_previous_text,
+        )
+        seg_dicts = [
+            {
+                "id": s.id,
+                "seek": s.seek,
+                "start": s.start,
+                "end": s.end,
+                "text": s.text,
+                "tokens": s.tokens,
+                "temperature": s.temperature,
+                "avg_logprob": s.avg_logprob,
+                "compression_ratio": s.compression_ratio,
+                "no_speech_prob": s.no_speech_prob,
+            }
+            for s in segments
+        ]
+        return {
+            "text": "".join(s.text for s in segments),
+            "segments": seg_dicts,
+            "language": info.language,
+            "duration": info.duration,
+        }
+
+
+def load_model(name: str, device: Optional[str] = None) -> OpenAIWhisperModel:
+    """Contract: ``whisper.load_model`` (reference main.py:110)."""
+    return OpenAIWhisperModel(name, device)

@@ -1,0 +1,234 @@
+"""NME-SC spectral clustering for speaker diarization.
+
+The clustering stage of the reference's NeMo stack (SURVEY D5c): cosine
+affinity over speaker embeddings, per-row top-p binarization with the
+Normalized Maximum Eigengap (NME) criterion auto-tuning p, speaker-count
+estimation from the Laplacian eigengap, spectral embedding + k-means.
+Config contract: the ``clustering.parameters`` block of the diarizer
+config (max_num_speakers, max_rp_threshold, sparse_search_volume,
+enhanced_count_thres, chunk_cluster_count, embeddings_per_chunk —
+reference telephonic.yaml:47-56).
+
+Dense linear algebra (affinity, eigh) runs through jax.numpy so large
+problems land on the TPU; the small search/k-means glue stays in numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def cosine_affinity(embeddings: np.ndarray) -> np.ndarray:
+    """[N, D] -> [N, N] cosine similarity (device matmul, fp32)."""
+    embs = jnp.asarray(embeddings, jnp.float32)
+    norm = jnp.linalg.norm(embs, axis=1, keepdims=True)
+    unit = embs / jnp.maximum(norm, 1e-8)
+    return np.asarray(jnp.dot(unit, unit.T, preferred_element_type=jnp.float32))
+
+
+def binarize_top_p(affinity: np.ndarray, p_neighbors: int) -> np.ndarray:
+    """Keep each row's top-p entries (as 1s), symmetrize by average.
+
+    NeMo's binarization keeps the affinity graph sparse enough for a
+    clean eigengap; symmetrizing with 0.5·(B+Bᵀ) preserves symmetry for
+    the eigensolver.
+    """
+    n = affinity.shape[0]
+    p = int(np.clip(p_neighbors, 1, n))
+    idx = np.argpartition(-affinity, p - 1, axis=1)[:, :p]
+    binarized = np.zeros_like(affinity)
+    np.put_along_axis(binarized, idx, 1.0, axis=1)
+    return 0.5 * (binarized + binarized.T)
+
+
+def laplacian(affinity_bin: np.ndarray) -> np.ndarray:
+    degree = np.diag(affinity_bin.sum(axis=1))
+    return degree - affinity_bin
+
+
+def eigen_decompose(lap: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Ascending eigenvalues/vectors of a symmetric matrix (device)."""
+    evals, evecs = jnp.linalg.eigh(jnp.asarray(lap, jnp.float32))
+    return np.asarray(evals), np.asarray(evecs)
+
+
+def estimate_num_speakers(
+    evals: np.ndarray, max_num_speakers: int
+) -> Tuple[int, float]:
+    """Speaker count from the largest Laplacian eigengap.
+
+    Returns (num_speakers, eigengap value). Eigenvalues near zero count
+    connected components; the gap after the k-th smallest eigenvalue
+    marks k clusters.
+    """
+    evals = np.sort(np.maximum(evals, 0.0))
+    bound = min(max_num_speakers, len(evals) - 1)
+    gaps = evals[1 : bound + 1] - evals[:bound]
+    k = int(np.argmax(gaps)) + 1
+    return k, float(gaps[k - 1])
+
+
+def _nme_ratio(affinity: np.ndarray, p: int, max_num_speakers: int) -> Tuple[float, int]:
+    binarized = binarize_top_p(affinity, p)
+    lap = laplacian(binarized)
+    evals, _ = eigen_decompose(lap)
+    n_spk, gap = estimate_num_speakers(evals, max_num_speakers)
+    # normalized maximum eigengap: larger gap per neighbor count is better
+    g = gap / (p + 1e-10)
+    return (p / max(g, 1e-10)), n_spk
+
+
+def nmesc_search(
+    affinity: np.ndarray,
+    max_num_speakers: int = 8,
+    max_rp_threshold: float = 0.25,
+    sparse_search_volume: int = 30,
+) -> Tuple[int, int]:
+    """Search the neighbor count p minimizing the NME ratio.
+
+    Returns (best_p, estimated_num_speakers). Contract: the
+    max_rp_threshold bounds p ≤ N·max_rp; sparse_search_volume sets how
+    many p values are probed (reference telephonic.yaml:52-53).
+    """
+    n = affinity.shape[0]
+    p_max = max(2, int(np.floor(n * max_rp_threshold)))
+    candidates = np.unique(
+        np.linspace(1, p_max, num=min(sparse_search_volume, p_max)).astype(int)
+    )
+    best = (np.inf, 2, 1)  # (nme, p, n_spk)
+    for p in candidates:
+        nme, n_spk = _nme_ratio(affinity, int(p), max_num_speakers)
+        if nme < best[0]:
+            best = (nme, int(p), n_spk)
+    return best[1], best[2]
+
+
+def _kmeans(
+    points: np.ndarray, k: int, seed: int = 0, iters: int = 50
+) -> np.ndarray:
+    """k-means with k-means++ init (numpy; k and N here are small)."""
+    rng = np.random.default_rng(seed)
+    n = len(points)
+    if k >= n:
+        return np.arange(n)
+    # k-means++ seeding
+    centers = [points[rng.integers(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [np.sum((points - c) ** 2, axis=1) for c in centers], axis=0
+        )
+        total = d2.sum()
+        if total <= 1e-12:
+            centers.append(points[rng.integers(n)])
+            continue
+        centers.append(points[rng.choice(n, p=d2 / total)])
+    centers = np.stack(centers)
+    labels = np.zeros(n, np.int32)
+    for _ in range(iters):
+        dists = ((points[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        new_labels = dists.argmin(axis=1).astype(np.int32)
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+        for j in range(k):
+            mask = labels == j
+            if mask.any():
+                centers[j] = points[mask].mean(axis=0)
+    return labels
+
+
+def spectral_cluster(
+    affinity_bin: np.ndarray, n_speakers: int, seed: int = 0
+) -> np.ndarray:
+    """Rows of the k smallest-eigenvalue eigenvectors, k-means'd."""
+    lap = laplacian(affinity_bin)
+    _, evecs = eigen_decompose(lap)
+    embedding = evecs[:, :n_speakers]
+    norms = np.linalg.norm(embedding, axis=1, keepdims=True)
+    embedding = embedding / np.maximum(norms, 1e-8)
+    return _kmeans(embedding, n_speakers, seed)
+
+
+def nme_spectral_clustering(
+    embeddings: np.ndarray,
+    num_speakers: Optional[int] = None,
+    max_num_speakers: int = 8,
+    min_num_speakers: int = 1,
+    max_rp_threshold: float = 0.25,
+    sparse_search_volume: int = 30,
+    affinity: Optional[np.ndarray] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Full NME-SC pipeline: embeddings (or a precomputed multiscale
+    affinity) → per-segment speaker labels.
+
+    ``num_speakers`` forces the oracle count (the pyannote-equivalent
+    knob, reference main.py:150-159); otherwise the count is estimated
+    and clamped to [min_num_speakers, max_num_speakers].
+    """
+    if affinity is None:
+        affinity = cosine_affinity(embeddings)
+    n = affinity.shape[0]
+    if n == 1:
+        return np.zeros(1, np.int32)
+    if n == 2:
+        same = affinity[0, 1] > 0.5
+        if num_speakers == 1 or (num_speakers is None and same):
+            return np.zeros(2, np.int32)
+        return np.arange(2, dtype=np.int32)
+
+    best_p, est = nmesc_search(
+        affinity, max_num_speakers, max_rp_threshold, sparse_search_volume
+    )
+    n_spk = num_speakers if num_speakers is not None else est
+    n_spk = int(np.clip(n_spk, min_num_speakers, max_num_speakers))
+    binarized = binarize_top_p(affinity, best_p)
+    return spectral_cluster(binarized, n_spk, seed)
+
+
+def longform_cluster(
+    embeddings: np.ndarray,
+    num_speakers: Optional[int] = None,
+    max_num_speakers: int = 8,
+    chunk_cluster_count: int = 50,
+    embeddings_per_chunk: int = 10000,
+    **kwargs,
+) -> np.ndarray:
+    """Long-form path: over-cluster each chunk, recluster the cluster
+    means, propagate labels (reference telephonic.yaml:55-56 contract).
+    """
+    n = len(embeddings)
+    if n <= embeddings_per_chunk:
+        return nme_spectral_clustering(
+            embeddings,
+            num_speakers=num_speakers,
+            max_num_speakers=max_num_speakers,
+            **kwargs,
+        )
+    chunk_labels = np.zeros(n, np.int64)
+    means = []
+    offset = 0
+    for start in range(0, n, embeddings_per_chunk):
+        chunk = embeddings[start : start + embeddings_per_chunk]
+        k = min(chunk_cluster_count, len(chunk))
+        labels = _kmeans(chunk, k, seed=start)
+        chunk_labels[start : start + len(chunk)] = labels + offset
+        for j in range(k):
+            mask = labels == j
+            means.append(
+                chunk[mask].mean(axis=0)
+                if mask.any()
+                else chunk.mean(axis=0)
+            )
+        offset += k
+    means = np.stack(means)
+    meta_labels = nme_spectral_clustering(
+        means,
+        num_speakers=num_speakers,
+        max_num_speakers=max_num_speakers,
+        **kwargs,
+    )
+    return meta_labels[chunk_labels].astype(np.int32)

@@ -1,0 +1,278 @@
+"""Jitted autoregressive decode loops for Whisper.
+
+The engine half of what CTranslate2 provided to the reference (SURVEY
+D3/D8): a batched greedy/sampled decode with KV cache, whisper's logit
+rules (suppress lists, blank suppression, timestamp grammar), no-speech
+probability, and average log-probability — all inside a single
+``lax.while_loop`` so one XLA compilation serves a whole batch of 30 s
+windows and exits as soon as every sequence has emitted EOT.
+
+Static shapes: the token buffer is [B, max_len]; finished lanes keep
+writing EOT. Temperature > 0 switches argmax to categorical sampling
+(used by the quality-gated temperature fallback, reference
+main.py:381-391 semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.whisper import (
+    WhisperDims,
+    cross_attention_kv,
+    decode_step,
+    init_kv_cache,
+)
+
+
+@dataclass(frozen=True)
+class DecodeOptions:
+    """Static decode configuration (hashable: participates in jit keys)."""
+
+    max_new_tokens: int = 224
+    suppress_blank: bool = True
+    without_timestamps: bool = True
+    temperature: float = 0.0
+    # token-id layout needed inside the loop
+    eot: int = 50257
+    sot: int = 50258
+    no_speech: int = 50362
+    no_timestamps: int = 50363
+    timestamp_begin: int = 50364
+    max_initial_timestamp_index: int = 50  # 1.0 s, whisper default
+    blank_token: int = 220  # " " for the standard GPT-2 vocab
+
+
+def build_suppress_mask(
+    vocab_size: int, suppress_tokens: Sequence[int]
+) -> np.ndarray:
+    """[-inf at suppressed ids] additive fp32 mask of shape [V].
+
+    ``-1`` entries (the reference's "no suppression" sentinel,
+    diarize.py:129) are ignored.
+    """
+    mask = np.zeros((vocab_size,), np.float32)
+    for t in suppress_tokens:
+        if 0 <= t < vocab_size:
+            mask[t] = -np.inf
+    return mask
+
+
+def _apply_timestamp_rules(
+    logits, tokens, pos, n_prompt, opts: DecodeOptions
+):
+    """Whisper's timestamp grammar as logit masking (batched).
+
+    - timestamps come in pairs (start/end); after a lone timestamp the
+      next token must be a timestamp or EOT is handled by pairing rules
+    - timestamps are non-decreasing
+    - at the first step only timestamps are allowed (bounded by
+      max_initial_timestamp)
+    - if the total timestamp probability beats the best text token, a
+      timestamp must be sampled
+    """
+    b, v = logits.shape
+    ts_begin = opts.timestamp_begin
+
+    last = tokens[jnp.arange(b), jnp.maximum(pos - 1, 0)]
+    penult = tokens[jnp.arange(b), jnp.maximum(pos - 2, 0)]
+    step = pos - n_prompt  # tokens generated so far
+
+    last_was_ts = (last >= ts_begin) & (step >= 1)
+    penult_was_ts = (penult >= ts_begin) & (step >= 2)
+
+    ids = jnp.arange(v)[None, :]
+    is_ts = ids >= ts_begin
+    is_text = ids < opts.eot
+
+    # pairing rules
+    suppress_ts = last_was_ts & penult_was_ts
+    suppress_text = last_was_ts & ~penult_was_ts
+    logits = jnp.where(
+        (suppress_ts[:, None] & is_ts) | (suppress_text[:, None] & is_text),
+        -jnp.inf,
+        logits,
+    )
+
+    # monotonicity: timestamps must not rewind below the latest seen
+    token_hist = jnp.where(
+        jnp.arange(tokens.shape[1])[None, :] < pos, tokens, 0
+    )
+    max_ts = jnp.max(
+        jnp.where(token_hist >= ts_begin, token_hist, ts_begin - 1), axis=1
+    )
+    ts_floor = jnp.where(last_was_ts & ~penult_was_ts, max_ts, max_ts + 1)
+    logits = jnp.where(
+        is_ts & (ids < ts_floor[:, None]), -jnp.inf, logits
+    )
+
+    # first generated token must be a timestamp within the initial bound
+    first = step == 0
+    init_cap = ts_begin + opts.max_initial_timestamp_index
+    logits = jnp.where(
+        first[..., None] & (~is_ts | (ids > init_cap)), -jnp.inf, logits
+    )
+
+    # if P(timestamp) > max P(text token): force a timestamp
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(
+        jnp.where(is_ts, logprobs, -jnp.inf), axis=-1
+    )
+    max_text_logprob = jnp.max(
+        jnp.where(is_ts, -jnp.inf, logprobs), axis=-1
+    )
+    force_ts = ts_logprob > max_text_logprob
+    logits = jnp.where(force_ts[:, None] & ~is_ts, -jnp.inf, logits)
+    return logits
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dims", "opts", "n_prompt", "dtype")
+)
+def greedy_decode(
+    params,
+    audio_features: jnp.ndarray,  # [B, n_audio_ctx, D]
+    prompt: jnp.ndarray,  # [B, n_prompt] int32
+    suppress_mask: jnp.ndarray,  # [V] additive fp32
+    dims: WhisperDims,
+    opts: DecodeOptions,
+    n_prompt: int,
+    rng: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched decode. Returns (tokens [B, L], lengths [B],
+    sum_logprob [B], no_speech_prob [B]).
+
+    ``tokens`` contains the prompt followed by generated tokens; length
+    counts only generated tokens up to (and excluding) EOT.
+    """
+    b = audio_features.shape[0]
+    max_len = n_prompt + opts.max_new_tokens
+    audio = audio_features.astype(dtype)
+    cross_kv = cross_attention_kv(params, audio, dims)
+    cache = init_kv_cache(b, dims, dtype)
+
+    tokens = jnp.zeros((b, max_len), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    sot_index = jnp.argmax(
+        (prompt == opts.sot).astype(jnp.int32), axis=1
+    )  # position of SOT inside the prompt (for no-speech readout)
+
+    def cond(state):
+        pos, _, _, finished, *_ = state
+        return (pos < max_len) & ~jnp.all(finished)
+
+    def body(state):
+        (pos, tokens, cache, finished, sum_logprob, length, no_speech, rng) = state
+        cur = tokens[jnp.arange(b), pos - 1]
+        logits, cache = decode_step(
+            params, cur, pos - 1, cache, cross_kv, dims, dtype
+        )  # logits for position pos
+
+        # no-speech prob: measured at the step that consumed SOT
+        probs_all = jax.nn.softmax(logits, axis=-1)
+        at_sot = (pos - 1) == sot_index
+        no_speech = jnp.where(
+            at_sot, probs_all[:, opts.no_speech], no_speech
+        )
+
+        in_prompt = pos < n_prompt
+        filt = logits + suppress_mask[None, :]
+        if opts.suppress_blank:
+            first_step = pos == n_prompt
+            blank_mask = (
+                jnp.zeros_like(filt)
+                .at[:, opts.blank_token]
+                .set(-jnp.inf)
+                .at[:, opts.eot]
+                .set(-jnp.inf)
+            )
+            filt = jnp.where(first_step, filt + blank_mask, filt)
+        if not opts.without_timestamps:
+            filt = _apply_timestamp_rules(filt, tokens, pos, n_prompt, opts)
+        else:
+            ids = jnp.arange(filt.shape[1])[None, :]
+            filt = jnp.where(ids >= opts.timestamp_begin, -jnp.inf, filt)
+            filt = filt.at[:, opts.no_timestamps].add(-jnp.inf)
+
+        if opts.temperature > 0:
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(
+                sub, filt / opts.temperature, axis=-1
+            )
+        else:
+            nxt = jnp.argmax(filt, axis=-1)
+
+        logprobs = jax.nn.log_softmax(filt, axis=-1)
+        step_logprob = logprobs[jnp.arange(b), nxt]
+
+        # prompt positions: force the prompt token, no scoring
+        prompt_tok = tokens[jnp.arange(b), pos]
+        nxt = jnp.where(in_prompt, prompt_tok, nxt).astype(jnp.int32)
+        nxt = jnp.where(finished, opts.eot, nxt)
+
+        newly_finished = (~in_prompt) & (nxt == opts.eot) & ~finished
+        active = (~in_prompt) & ~finished & (nxt != opts.eot)
+        sum_logprob = sum_logprob + jnp.where(
+            (~in_prompt) & ~finished, step_logprob, 0.0
+        )
+        length = length + active.astype(jnp.int32)
+        finished = finished | newly_finished
+
+        tokens = tokens.at[jnp.arange(b), pos].set(nxt)
+        return (pos + 1, tokens, cache, finished, sum_logprob, length, no_speech, rng)
+
+    init = (
+        jnp.int32(1),
+        tokens,
+        cache,
+        jnp.zeros((b,), bool),
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.float32),
+        rng,
+    )
+    (_, tokens, _, _, sum_logprob, length, no_speech, _) = jax.lax.while_loop(
+        cond, body, init
+    )
+    return tokens, length, sum_logprob, no_speech
+
+
+def detect_language(
+    params,
+    audio_features: jnp.ndarray,  # [B, n_audio_ctx, D]
+    dims: WhisperDims,
+    sot: int,
+    language_start: int,
+    n_languages: int,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single forward step from SOT; returns (lang_index [B], probs
+    [B, n_languages]) over the language-token block."""
+    b = audio_features.shape[0]
+    cross_kv = cross_attention_kv(params, audio_features.astype(dtype), dims)
+    cache = init_kv_cache(b, dims, dtype)
+    logits, _ = decode_step(
+        params,
+        jnp.full((b,), sot, jnp.int32),
+        jnp.int32(0),
+        cache,
+        cross_kv,
+        dims,
+        dtype,
+    )
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits, language_start, n_languages, axis=1
+    )
+    probs = jax.nn.softmax(lang_logits, axis=-1)
+    return jnp.argmax(probs, axis=-1), probs

@@ -1,0 +1,500 @@
+"""WhisperEngine: long-form transcription on the JAX engine.
+
+Reproduces the two long-form strategies the reference exercises:
+
+- **batched** (faster-whisper ``BatchedInferencePipeline``, reference
+  diarize.py:132-138): VAD-driven chunking into ≤30 s windows, batched
+  no-timestamp decoding, window-bounded segment times;
+- **sequential** (openai-whisper / faster-whisper buffered decoding,
+  reference diarize.py:140-145 and main.py:381-391): 30 s sliding window
+  with timestamp tokens, seek driven by the last predicted timestamp,
+  temperature fallback gated on compression-ratio / avg-logprob /
+  no-speech thresholds, optional conditioning on previous text.
+
+Both produce the same Segment records; the facades in ``asr/`` adapt
+them to the faster-whisper tuple contract and the openai-whisper dict
+contract.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.whisper import WhisperDims, encode
+from ..ops.mel import HOP_LENGTH, N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram
+from ..text.languages import LANGUAGES
+from ..text.tokenizer import WhisperTokenizer
+from ..utils import get_logger
+from ..vad import get_speech_timestamps
+from .checkpoint import resolve_model
+from .decode import DecodeOptions, build_suppress_mask, detect_language, greedy_decode
+
+logger = get_logger(__name__)
+
+FRAMES_PER_WINDOW = 3000  # 30 s of 10 ms mel frames
+TIME_PER_FRAME = HOP_LENGTH / SAMPLE_RATE  # 0.01 s
+
+
+@dataclass
+class Segment:
+    id: int
+    seek: int
+    start: float
+    end: float
+    text: str
+    tokens: List[int]
+    temperature: float = 0.0
+    avg_logprob: float = 0.0
+    compression_ratio: float = 0.0
+    no_speech_prob: float = 0.0
+    words: Optional[list] = None
+
+
+@dataclass
+class TranscriptionInfo:
+    language: str
+    language_probability: float
+    duration: float
+    duration_after_vad: float = 0.0
+    all_language_probs: Optional[list] = None
+
+
+def compression_ratio(text: str) -> float:
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def _dtype_for_compute_type(compute_type: str):
+    # int8 weight quantization is handled separately; compute stays bf16.
+    return {
+        "default": jnp.float32,
+        "float32": jnp.float32,
+        "float16": jnp.bfloat16,
+        "bfloat16": jnp.bfloat16,
+        "int8": jnp.bfloat16,
+    }[compute_type]
+
+
+class WhisperEngine:
+    """Model + tokenizer + jitted decode, shared by every API facade."""
+
+    def __init__(
+        self,
+        model_name: str = "tiny",
+        compute_type: str = "default",
+        params=None,
+        dims: Optional[WhisperDims] = None,
+        tokenizer: Optional[WhisperTokenizer] = None,
+    ):
+        if params is None or dims is None:
+            params, dims = resolve_model(model_name)
+        self.params = params
+        self.dims = dims
+        self.model_name = model_name
+        self.dtype = _dtype_for_compute_type(compute_type)
+        self.multilingual = not model_name.endswith(".en")
+        if tokenizer is None:
+            n_langs = 100 if dims.n_vocab >= 51866 else 99
+            vocab_dir = (
+                os.path.dirname(model_name)
+                if model_name.endswith(".npz")
+                else os.path.join(
+                    os.path.dirname(model_name) if os.sep in model_name else "",
+                )
+            )
+            if vocab_dir and os.path.exists(
+                os.path.join(vocab_dir, "vocab.json")
+            ):
+                tokenizer = WhisperTokenizer.from_dir(
+                    vocab_dir, multilingual=self.multilingual
+                )
+            else:
+                tokenizer = WhisperTokenizer.byte_fallback(
+                    multilingual=self.multilingual, n_languages=n_langs
+                )
+        self.tokenizer = tokenizer
+        self._opts_base = self._make_opts()
+
+    def _make_opts(self, **over) -> DecodeOptions:
+        t = self.tokenizer
+        kw = dict(
+            eot=t.eot,
+            sot=t.sot,
+            no_speech=t.no_speech,
+            no_timestamps=t.no_timestamps,
+            timestamp_begin=t.timestamp_begin,
+        )
+        kw.update(over)
+        return DecodeOptions(**kw)
+
+    # -- helpers ----------------------------------------------------------
+    def mel_window(self, audio: np.ndarray) -> jnp.ndarray:
+        """Pad/trim a ≤30 s chunk to exactly 30 s and compute mel."""
+        chunk = np.zeros(N_SAMPLES, np.float32)
+        n = min(len(audio), N_SAMPLES)
+        chunk[:n] = audio[:n]
+        return log_mel_spectrogram(jnp.asarray(chunk), n_mels=self.dims.n_mels)
+
+    def encode_windows(self, mels: jnp.ndarray) -> jnp.ndarray:
+        """[B, n_mels, 3000] -> [B, 1500, D]."""
+        return self._encode_jit(self.params, mels)
+
+    @property
+    def _encode_jit(self):
+        if not hasattr(self, "_encode_cached"):
+            dims, dtype = self.dims, self.dtype
+            self._encode_cached = jax.jit(
+                lambda p, m: encode(p, m, dims, dtype)
+            )
+        return self._encode_cached
+
+    def detect_language(self, audio: np.ndarray) -> Tuple[str, float]:
+        """Language ID from the first 30 s window (contract: the
+        ``info.language`` field consumed at reference diarize.py:173)."""
+        if not self.multilingual:
+            return "en", 1.0
+        mel = self.mel_window(audio)[None]
+        feats = self.encode_windows(mel)
+        idx, probs = detect_language(
+            self.params,
+            feats,
+            self.dims,
+            self.tokenizer.sot,
+            self.tokenizer.layout.language_start,
+            self.tokenizer.layout.n_languages,
+            self.dtype,
+        )
+        codes = list(LANGUAGES.keys())[: self.tokenizer.layout.n_languages]
+        i = int(np.asarray(idx)[0])
+        return codes[i], float(np.asarray(probs)[0, i])
+
+    def _decode_batch(
+        self,
+        feats: jnp.ndarray,
+        language: Optional[str],
+        suppress_mask: np.ndarray,
+        without_timestamps: bool,
+        temperature: float,
+        rng_seed: int = 0,
+    ):
+        b = feats.shape[0]
+        prompt = self.tokenizer.sot_sequence(
+            language if self.multilingual else None,
+            "transcribe",
+            without_timestamps=without_timestamps,
+        )
+        opts = self._make_opts(
+            without_timestamps=without_timestamps,
+            temperature=float(temperature),
+        )
+        prompt_arr = jnp.tile(jnp.asarray(prompt, jnp.int32)[None], (b, 1))
+        tokens, length, sum_logprob, no_speech = greedy_decode(
+            self.params,
+            feats,
+            prompt_arr,
+            jnp.asarray(suppress_mask),
+            self.dims,
+            opts,
+            n_prompt=len(prompt),
+            rng=jax.random.PRNGKey(rng_seed),
+            dtype=self.dtype,
+        )
+        return (
+            np.asarray(tokens),
+            np.asarray(length),
+            np.asarray(sum_logprob),
+            np.asarray(no_speech),
+            len(prompt),
+        )
+
+    # -- batched long-form -------------------------------------------------
+    def transcribe_batched(
+        self,
+        audio: np.ndarray,
+        language: Optional[str] = None,
+        suppress_tokens: Sequence[int] = (-1,),
+        batch_size: int = 8,
+        without_timestamps: bool = True,
+        use_vad: bool = True,
+    ) -> Tuple[List[Segment], TranscriptionInfo]:
+        duration = len(audio) / SAMPLE_RATE
+        if use_vad:
+            spans = get_speech_timestamps(audio)
+            if not spans:
+                spans = [{"start": 0, "end": len(audio)}]
+        else:
+            spans = [{"start": 0, "end": len(audio)}]
+
+        windows = _merge_spans_into_windows(spans, N_SAMPLES)
+        duration_after_vad = sum(
+            (w[1] - w[0]) for w in windows
+        ) / SAMPLE_RATE
+
+        if language is None:
+            language, lang_prob = self.detect_language(
+                audio[windows[0][0] : windows[0][1]]
+            )
+        else:
+            lang_prob = 1.0
+
+        suppress_mask = build_suppress_mask(
+            self.dims.n_vocab, [t for t in suppress_tokens if t >= 0]
+        )
+
+        segments: List[Segment] = []
+        for batch_start in range(0, len(windows), batch_size):
+            batch = windows[batch_start : batch_start + batch_size]
+            mels = jnp.stack(
+                [self.mel_window(audio[s:e]) for s, e in batch]
+            )
+            feats = self.encode_windows(mels)
+            tokens, lengths, sum_lp, no_speech, n_prompt = self._decode_batch(
+                feats, language, suppress_mask, without_timestamps, 0.0
+            )
+            for i, (s, e) in enumerate(batch):
+                toks = tokens[i, n_prompt : n_prompt + lengths[i]].tolist()
+                text = self.tokenizer.decode(toks)
+                avg_lp = float(sum_lp[i]) / (int(lengths[i]) + 1)
+                segments.append(
+                    Segment(
+                        id=len(segments),
+                        seek=s // HOP_LENGTH,
+                        start=s / SAMPLE_RATE,
+                        end=e / SAMPLE_RATE,
+                        text=text,
+                        tokens=toks,
+                        avg_logprob=avg_lp,
+                        compression_ratio=compression_ratio(text),
+                        no_speech_prob=float(no_speech[i]),
+                    )
+                )
+        info = TranscriptionInfo(
+            language=language,
+            language_probability=lang_prob,
+            duration=duration,
+            duration_after_vad=duration_after_vad,
+        )
+        return segments, info
+
+    # -- sequential long-form ----------------------------------------------
+    def transcribe_sequential(
+        self,
+        audio: np.ndarray,
+        language: Optional[str] = None,
+        suppress_tokens: Sequence[int] = (-1,),
+        vad_filter: bool = False,
+        temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        compression_ratio_threshold: float = 2.4,
+        logprob_threshold: float = -1.0,
+        no_speech_threshold: float = 0.6,
+        condition_on_previous_text: bool = True,
+        without_timestamps: bool = False,
+    ) -> Tuple[List[Segment], TranscriptionInfo]:
+        duration = len(audio) / SAMPLE_RATE
+        if vad_filter:
+            spans = get_speech_timestamps(audio)
+            if spans:
+                keep = np.concatenate(
+                    [audio[s["start"] : s["end"]] for s in spans]
+                )
+                audio = keep
+        duration_after_vad = len(audio) / SAMPLE_RATE
+
+        if language is None:
+            language, lang_prob = self.detect_language(audio)
+        else:
+            lang_prob = 1.0
+
+        suppress_mask = build_suppress_mask(
+            self.dims.n_vocab, [t for t in suppress_tokens if t >= 0]
+        )
+
+        content_frames = len(audio) // HOP_LENGTH
+        seek = 0
+        segments: List[Segment] = []
+        ts_begin = self.tokenizer.timestamp_begin
+
+        while seek < content_frames:
+            time_offset = seek * TIME_PER_FRAME
+            chunk = audio[seek * HOP_LENGTH : seek * HOP_LENGTH + N_SAMPLES]
+            window_frames = min(FRAMES_PER_WINDOW, content_frames - seek)
+            mel = self.mel_window(chunk)[None]
+            feats = self.encode_windows(mel)
+
+            result = None
+            for ti, temp in enumerate(temperatures):
+                tokens, lengths, sum_lp, no_speech, n_prompt = (
+                    self._decode_batch(
+                        feats,
+                        language,
+                        suppress_mask,
+                        without_timestamps,
+                        temp,
+                        rng_seed=seek + ti,
+                    )
+                )
+                toks = tokens[0, n_prompt : n_prompt + lengths[0]].tolist()
+                text = self.tokenizer.decode(toks)
+                avg_lp = float(sum_lp[0]) / (int(lengths[0]) + 1)
+                cr = compression_ratio(text)
+                needs_fallback = (
+                    cr > compression_ratio_threshold
+                    or avg_lp < logprob_threshold
+                )
+                result = (toks, text, avg_lp, cr, float(no_speech[0]), temp)
+                if not needs_fallback:
+                    break
+
+            toks, text, avg_lp, cr, no_speech_p, temp = result
+
+            # silent-window skip (reference D8 threshold semantics)
+            if (
+                no_speech_p > no_speech_threshold
+                and avg_lp < logprob_threshold
+            ):
+                seek += window_frames
+                continue
+
+            window_duration = window_frames * TIME_PER_FRAME
+            new_segments, frames_consumed = _split_on_timestamps(
+                toks,
+                ts_begin,
+                time_offset,
+                window_duration,
+                window_frames,
+            )
+            for s_toks, s_start, s_end in new_segments:
+                s_text = self.tokenizer.decode(s_toks)
+                if not s_text.strip():
+                    continue
+                segments.append(
+                    Segment(
+                        id=len(segments),
+                        seek=seek,
+                        start=s_start,
+                        end=s_end,
+                        text=s_text,
+                        tokens=s_toks,
+                        temperature=temp,
+                        avg_logprob=avg_lp,
+                        compression_ratio=cr,
+                        no_speech_prob=no_speech_p,
+                    )
+                )
+            seek += frames_consumed
+            if temp > 0.5 or not condition_on_previous_text:
+                pass  # prompt conditioning resets (prompt support: future)
+
+        info = TranscriptionInfo(
+            language=language,
+            language_probability=lang_prob,
+            duration=duration,
+            duration_after_vad=duration_after_vad,
+        )
+        return segments, info
+
+
+def _merge_spans_into_windows(
+    spans: List[dict], max_samples: int
+) -> List[Tuple[int, int]]:
+    """Merge VAD spans into decode windows of at most 30 s.
+
+    Adjacent spans pack into one window while the combined extent stays
+    under ``max_samples``; an oversized single span is sliced into 30 s
+    pieces.
+    """
+    windows: List[Tuple[int, int]] = []
+    cur_start = cur_end = None
+    for span in spans:
+        s, e = span["start"], span["end"]
+        while e - s > max_samples:  # slice giant spans
+            if cur_start is not None:
+                windows.append((cur_start, cur_end))
+                cur_start = cur_end = None
+            windows.append((s, s + max_samples))
+            s += max_samples
+        if cur_start is None:
+            cur_start, cur_end = s, e
+        elif e - cur_start <= max_samples:
+            cur_end = e
+        else:
+            windows.append((cur_start, cur_end))
+            cur_start, cur_end = s, e
+    if cur_start is not None:
+        windows.append((cur_start, cur_end))
+    return windows
+
+
+def _split_on_timestamps(
+    tokens: List[int],
+    ts_begin: int,
+    time_offset: float,
+    window_duration: float,
+    window_frames: int,
+) -> Tuple[List[Tuple[List[int], float, float]], int]:
+    """Split decoded tokens into (tokens, start_s, end_s) segments.
+
+    Consecutive timestamp tokens mark segment boundaries; a trailing
+    lone timestamp sets how far the window actually consumed audio
+    (whisper's seek rule). Returns (segments, frames_consumed).
+    """
+    ts_value = lambda t: (t - ts_begin) * 0.02
+
+    if not any(t >= ts_begin for t in tokens):
+        # no timestamps at all: one segment spanning the window
+        return (
+            [(tokens, time_offset, time_offset + window_duration)],
+            window_frames,
+        )
+
+    # pattern: <t0> text <t1><t2> text <t3> ...; a segment is the text
+    # between a start timestamp and the next timestamp token
+    segments = []
+    prev_ts_val = 0.0
+    consumed = window_frames
+    pending_start: Optional[float] = None
+    seg_tokens: List[int] = []
+    for tok in tokens:
+        if tok >= ts_begin:
+            if pending_start is None:
+                pending_start = ts_value(tok)
+                seg_tokens = []
+            else:
+                segments.append(
+                    (
+                        seg_tokens,
+                        time_offset + pending_start,
+                        time_offset + ts_value(tok),
+                    )
+                )
+                prev_ts_val = ts_value(tok)
+                pending_start = None
+                seg_tokens = []
+        else:
+            seg_tokens.append(tok)
+    if pending_start is not None and seg_tokens:
+        # open segment at window end
+        segments.append(
+            (
+                seg_tokens,
+                time_offset + pending_start,
+                time_offset + window_duration,
+            )
+        )
+        consumed = window_frames
+    elif prev_ts_val > 0:
+        consumed = min(window_frames, max(1, int(round(prev_ts_val / 0.01))))
+    if not segments and seg_tokens:
+        segments.append(
+            (seg_tokens, time_offset, time_offset + window_duration)
+        )
+    return segments, consumed

@@ -1,0 +1,145 @@
+"""CTC Viterbi forced alignment on the XLA/TPU compute path.
+
+The replacement for ctc-forced-aligner's compiled alignment core
+(reference diarize.py:176-180, SURVEY D4/§2d-4). The CTC trellis (blank-
+interleaved label states) is swept with a ``lax.scan`` over time — the
+max-plus recurrence runs on-device with one [L]-state vector per step —
+while the O(T·L) int8 backpointer matrix is returned for a host-side
+backtrack (O(T)).
+
+Wildcard ``<star>`` labels match any non-blank symbol: their emission is
+the per-frame max over the non-blank vocabulary, appended as an extra
+emission column.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _viterbi_forward(
+    emissions: jnp.ndarray,  # [T, V] log-probs (star column appended)
+    state_labels: jnp.ndarray,  # [L] emission index per trellis state
+    allow_skip: jnp.ndarray,  # [L] bool: skip transition into state
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (final alpha [L], backpointers [T-1, L] int8)."""
+    L = state_labels.shape[0]
+
+    e0 = emissions[0][state_labels]
+    alpha0 = jnp.full((L,), NEG_INF).at[0].set(e0[0])
+    alpha0 = jnp.where(
+        jnp.arange(L) == 1, emissions[0][state_labels[1]], alpha0
+    )
+
+    def step(alpha, e_t):
+        e = e_t[state_labels]
+        stay = alpha
+        prev = jnp.concatenate([jnp.full((1,), NEG_INF), alpha[:-1]])
+        skip = jnp.concatenate([jnp.full((2,), NEG_INF), alpha[:-2]])
+        skip = jnp.where(allow_skip, skip, NEG_INF)
+        choices = jnp.stack([stay, prev, skip])  # [3, L]
+        bp = jnp.argmax(choices, axis=0).astype(jnp.int8)
+        new_alpha = e + jnp.max(choices, axis=0)
+        return new_alpha, bp
+
+    alpha_final, bps = jax.lax.scan(step, alpha0, emissions[1:])
+    return alpha_final, bps
+
+
+def forced_align(
+    emissions: np.ndarray,  # [T, V] log-probs, star column at index V-1
+    labels: np.ndarray,  # [N] int label ids into the emission columns
+    blank_id: int = 0,
+) -> Tuple[np.ndarray, float]:
+    """Viterbi-align ``labels`` to ``emissions``.
+
+    Returns (frame_labels [T] — the label *state index* path encoded as
+    -1 for blank frames and the label position 0..N-1 otherwise — and
+    the path log-score).
+    """
+    T, _ = emissions.shape
+    N = len(labels)
+    L = 2 * N + 1
+
+    state_labels = np.full((L,), blank_id, np.int32)
+    state_labels[1::2] = labels
+    allow_skip = np.zeros((L,), bool)
+    for s in range(3, L, 2):
+        allow_skip[s] = labels[(s - 1) // 2] != labels[(s - 3) // 2]
+
+    alpha, bps = _viterbi_forward(
+        jnp.asarray(emissions),
+        jnp.asarray(state_labels),
+        jnp.asarray(allow_skip),
+    )
+    alpha = np.asarray(alpha)
+    bps = np.asarray(bps)  # [T-1, L]
+
+    # backtrack (host): start at the better of the two admissible finals
+    s = L - 1 if alpha[L - 1] >= alpha[L - 2] else L - 2
+    score = float(alpha[s])
+    path = np.empty((T,), np.int32)
+    path[T - 1] = s
+    for t in range(T - 2, -1, -1):
+        s = s - int(bps[t, s])
+        path[t] = s
+
+    frame_labels = np.where(path % 2 == 1, (path - 1) // 2, -1)
+    return frame_labels.astype(np.int32), score
+
+
+def label_segments(
+    frame_labels: np.ndarray,
+    emissions: np.ndarray,
+    labels: np.ndarray,
+) -> List[dict]:
+    """Per-label (start, end) frame spans and mean-probability scores.
+
+    A label occupies the contiguous run of frames Viterbi assigned to
+    it; labels squeezed to zero frames inherit a point span at their
+    neighbor boundary.
+    """
+    N = len(labels)
+    out: List[dict] = []
+    starts = np.full(N, -1, np.int64)
+    ends = np.full(N, -1, np.int64)
+    for t, li in enumerate(frame_labels):
+        if li >= 0:
+            if starts[li] < 0:
+                starts[li] = t
+            ends[li] = t + 1
+    prev_end = 0
+    for i in range(N):
+        s, e = starts[i], ends[i]
+        if s < 0:  # label got no frames: zero-width at previous boundary
+            s = e = prev_end
+        score = (
+            float(np.exp(emissions[s:e, labels[i]]).mean()) if e > s else 0.0
+        )
+        out.append(
+            {"label": int(labels[i]), "start": int(s), "end": int(e),
+             "score": score}
+        )
+        prev_end = e
+    return out
+
+
+def add_star_column(
+    emissions: np.ndarray, blank_id: int = 0, discount: float = float(np.log(0.5))
+) -> np.ndarray:
+    """Append a wildcard emission column: per-frame max over non-blank
+    symbols, discounted by ``discount`` (log-space) so a true label
+    always beats the wildcard on its own frames while the wildcard still
+    absorbs audio no label explains."""
+    masked = emissions.copy()
+    masked[:, blank_id] = NEG_INF
+    star = masked.max(axis=1, keepdims=True) + discount
+    return np.concatenate([emissions, star], axis=1)

@@ -121,7 +121,14 @@ class ByteFallbackBPE:
         byte_enc = bytes_to_unicode()
         self.vocab = {s: b for b, s in byte_enc.items()}
         for i in range(256, n_base_vocab):
-            self.vocab[f"<unused_{i}>"] = i
+            # digit-free placeholder names: a numeral in the name would
+            # make find_numeral_symbol_tokens suppress the whole range
+            suffix = []
+            v = i
+            while v:
+                v, r = divmod(v, 26)
+                suffix.append(chr(ord("a") + r))
+            self.vocab[f"<unused_{''.join(suffix)}>"] = i
         self.inv_vocab = {i: t for t, i in self.vocab.items()}
 
     def encode(self, text: str) -> List[int]:
