@@ -208,6 +208,9 @@ def longform_cluster(
             max_num_speakers=max_num_speakers,
             **kwargs,
         )
+    # chunked path: per-chunk affinities are derived from embeddings, so a
+    # caller-supplied full affinity no longer applies
+    kwargs.pop("affinity", None)
     chunk_labels = np.zeros(n, np.int64)
     means = []
     offset = 0

@@ -1,0 +1,377 @@
+"""Neural diarization pipeline: VAD → multiscale embeddings →
+clustering → MSDD → RTTM.
+
+The TPU-native replacement for NeMo's ``NeuralDiarizer`` as the
+reference drives it (diarize.py:200-201): constructed from the config
+tree produced by ``config.create_config`` (manifest in, ``pred_rttms/
+<uri>.rttm`` out, so the reference's parser F17 reads our output
+unchanged). Also exposes the pyannote-style entry point with
+num/min/max-speaker knobs (reference main.py:144-161) over the same
+primitives.
+
+Stage map (SURVEY D5):
+  (a) frame VAD — MarbleNet when a checkpoint is installed, else the
+      energy VAD — postprocessed by the config's onset/offset/pad/
+      min-duration parameters;
+  (b) multiscale TitaNet embeddings over the configured window/shift
+      scales, batched with masked variable-length pooling;
+  (c) NME-SC clustering on the scale-weighted affinity (long-form
+      over-clustering past ``embeddings_per_chunk``);
+  (d) MSDD overlap refinement when an MSDD checkpoint is installed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import decode_audio
+from ..config import DiarizationConfig
+from ..engine.checkpoint import load_params, model_cache_dir
+from ..models import marblenet, msdd as msdd_mod, titanet
+from ..ops.features import HOP_LENGTH, SAMPLE_RATE, log_mel_features
+from ..utils import get_logger
+from ..vad import binarize_probs, filter_segments, median_smooth
+from ..vad.energy import frame_energy_probs
+from .clustering import cosine_affinity, longform_cluster
+from .rttm import write_rttm
+from .segments import (
+    ScaleSegment,
+    map_scales_to_base,
+    merge_frame_labels_to_turns,
+    multiscale_segmentation,
+)
+
+logger = get_logger(__name__)
+
+# compact architecture used when no converted checkpoint is installed
+# (zero-egress fallback; a real titanet_large checkpoint switches dims)
+_TITANET_SMALL = titanet.TitaNetDims(
+    n_mels=80,
+    filters=(128, 128, 128, 384),
+    kernels=(3, 7, 11, 1),
+    repeat=2,
+    se_reduction=8,
+    emb_dim=192,
+)
+_TITANET_LARGE = titanet.TitaNetDims()
+
+
+class NeuralDiarizer:
+    """Manifest-driven diarizer (NeMo ``NeuralDiarizer`` contract)."""
+
+    def __init__(self, cfg: DiarizationConfig):
+        self.cfg = cfg
+        self._load_models()
+
+    # -- model resolution --------------------------------------------------
+    def _load_models(self) -> None:
+        cache = model_cache_dir()
+        d = self.cfg.diarizer
+
+        vad_ckpt = os.path.join(cache, f"{d.vad.model_path}.npz")
+        self.marblenet_dims = marblenet.MarbleNetDims()
+        if os.path.exists(vad_ckpt):
+            self.vad_params = load_params(vad_ckpt)
+        else:
+            self.vad_params = None  # energy VAD fallback
+
+        spk_ckpt = os.path.join(
+            cache, f"{d.speaker_embeddings.model_path}.npz"
+        )
+        if os.path.exists(spk_ckpt):
+            self.titanet_params = load_params(spk_ckpt)
+            self.titanet_dims = _TITANET_LARGE
+        else:
+            logger.warning(
+                "no speaker-embedding checkpoint at %s; using compact "
+                "random-initialized TitaNet (diarization quality will be "
+                "meaningless until converted weights are installed)",
+                spk_ckpt,
+            )
+            self.titanet_dims = _TITANET_SMALL
+            self.titanet_params = titanet.init_titanet_params(
+                jax.random.PRNGKey(2), self.titanet_dims
+            )
+
+        self.msdd_params = None
+        if d.msdd_model.model_path:
+            msdd_ckpt = os.path.join(cache, f"{d.msdd_model.model_path}.npz")
+            if os.path.exists(msdd_ckpt):
+                self.msdd_params = load_params(msdd_ckpt)
+            else:
+                logger.warning(
+                    "no MSDD checkpoint at %s; falling back to "
+                    "clustering-only diarization",
+                    msdd_ckpt,
+                )
+
+        self._embed_jit = jax.jit(
+            lambda p, f, l: titanet.embed(p, f, l, self.titanet_dims)
+        )
+
+    def to(self, device) -> "NeuralDiarizer":
+        """Device placement no-op for CLI compatibility
+        (reference diarize.py:200 ``.to(args.device)``)."""
+        return self
+
+    # -- stages ------------------------------------------------------------
+    def _frame_speech_probs(self, audio: np.ndarray) -> np.ndarray:
+        p = self.cfg.diarizer.vad.parameters
+        if self.vad_params is not None:
+            feats = log_mel_features(
+                jnp.asarray(audio), n_mels=self.marblenet_dims.n_mels
+            )[None]
+            probs = np.asarray(
+                marblenet.speech_probs(
+                    self.vad_params, feats, self.marblenet_dims
+                )[0]
+            )
+        else:
+            probs = frame_energy_probs(
+                audio, frame_shift=p.shift_length_in_sec,
+                frame_length=p.window_length_in_sec,
+            )
+        if p.smoothing == "median":
+            window = max(1, int(p.window_length_in_sec / max(
+                p.shift_length_in_sec, 1e-6) * p.overlap))
+            probs = median_smooth(probs, window)
+        return probs
+
+    def _speech_regions(self, audio: np.ndarray) -> List[Tuple[float, float]]:
+        p = self.cfg.diarizer.vad.parameters
+        shift = (
+            p.shift_length_in_sec
+            if self.vad_params is None
+            else HOP_LENGTH / SAMPLE_RATE
+        )
+        probs = self._frame_speech_probs(audio)
+        segs = binarize_probs(
+            probs,
+            shift,
+            onset=p.onset,
+            offset=p.offset,
+            pad_onset=p.pad_onset,
+            pad_offset=p.pad_offset,
+        )
+        segs = filter_segments(segs, p.min_duration_on, p.min_duration_off)
+        duration = len(audio) / SAMPLE_RATE
+        return [(max(0.0, s), min(e, duration)) for s, e in segs if e > s]
+
+    def _embed_segments(
+        self, audio: np.ndarray, segments: List[ScaleSegment], window: float
+    ) -> np.ndarray:
+        """TitaNet embeddings for one scale's segments (batched,
+        masked to each segment's true length)."""
+        batch_size = self.cfg.batch_size
+        max_samples = int(window * SAMPLE_RATE)
+        max_frames = max_samples // HOP_LENGTH + 1
+        embs = []
+        for start in range(0, len(segments), batch_size):
+            chunk = segments[start : start + batch_size]
+            waves = np.zeros((len(chunk), max_samples), np.float32)
+            lengths = np.zeros((len(chunk),), np.int32)
+            for i, seg in enumerate(chunk):
+                s = int(seg.start * SAMPLE_RATE)
+                e = min(int(seg.end * SAMPLE_RATE), len(audio))
+                piece = audio[s:e][:max_samples]
+                waves[i, : len(piece)] = piece
+                lengths[i] = max(1, len(piece) // HOP_LENGTH)
+            # pad the batch to full batch_size so every scale reuses one
+            # compiled shape
+            if len(chunk) < batch_size:
+                waves = np.pad(
+                    waves, ((0, batch_size - len(chunk)), (0, 0))
+                )
+                lengths = np.pad(lengths, (0, batch_size - len(chunk)),
+                                 constant_values=1)
+            feats = log_mel_features(
+                jnp.asarray(waves), n_mels=self.titanet_dims.n_mels
+            )[:, :max_frames]
+            out = np.asarray(
+                self._embed_jit(
+                    self.titanet_params, feats, jnp.asarray(lengths)
+                )
+            )
+            embs.append(out[: len(chunk)])
+        return np.concatenate(embs, axis=0)
+
+    def diarize_waveform(
+        self,
+        audio: np.ndarray,
+        num_speakers: Optional[int] = None,
+        min_speakers: int = 1,
+        max_speakers: Optional[int] = None,
+    ) -> List[Tuple[float, float, int]]:
+        """Waveform → speaker turns [(start_s, end_s, speaker_id)]."""
+        d = self.cfg.diarizer
+        regions = self._speech_regions(audio)
+        if not regions:
+            return []
+
+        emb_cfg = d.speaker_embeddings.parameters
+        scales = multiscale_segmentation(
+            regions,
+            emb_cfg.window_length_in_sec,
+            emb_cfg.shift_length_in_sec,
+        )
+        base_segments = scales[-1]
+        if not base_segments:
+            return []
+
+        scale_embs = [
+            self._embed_segments(audio, segs, w)
+            for segs, w in zip(scales, emb_cfg.window_length_in_sec)
+        ]
+        mapping = map_scales_to_base(scales)
+
+        # scale-weighted multiscale affinity over base segments
+        weights = np.asarray(emb_cfg.multiscale_weights, np.float64)
+        weights = weights / weights.sum()
+        n_base = len(base_segments)
+        affinity = np.zeros((n_base, n_base), np.float64)
+        mapped_embs = []
+        for si in range(len(scales)):
+            embs = scale_embs[si][mapping[si]]  # [n_base, D]
+            mapped_embs.append(embs)
+            affinity += weights[si] * cosine_affinity(embs)
+        affinity = affinity.astype(np.float32)
+
+        cl = d.clustering.parameters
+        oracle = num_speakers if num_speakers else (
+            None if not cl.oracle_num_speakers else num_speakers
+        )
+        labels = longform_cluster(
+            np.concatenate(mapped_embs, axis=1),
+            num_speakers=oracle,
+            max_num_speakers=min(
+                cl.max_num_speakers,
+                max_speakers or cl.max_num_speakers,
+            ),
+            chunk_cluster_count=cl.chunk_cluster_count,
+            embeddings_per_chunk=cl.embeddings_per_chunk,
+            max_rp_threshold=cl.max_rp_threshold,
+            sparse_search_volume=cl.sparse_search_volume,
+            affinity=affinity if len(scales) > 1 else None,
+            min_num_speakers=min_speakers,
+        )
+
+        times = [(s.start, s.end) for s in base_segments]
+
+        if self.msdd_params is not None:
+            m = d.msdd_model.parameters
+            seg_embs = np.stack(mapped_embs)  # [S, n_base, D]
+            base_w = emb_cfg.window_length_in_sec[-1]
+            activity = msdd_mod.msdd_infer(
+                self.msdd_params,
+                seg_embs,
+                labels,
+                emb_cfg.multiscale_weights,
+                sigmoid_threshold=float(m.sigmoid_threshold[0]),
+                diar_window=m.diar_window_length,
+                seg_duration=base_w,
+                infer_batch_size=m.infer_batch_size,
+                overlap_infer_spk_limit=m.overlap_infer_spk_limit,
+            )
+            turns: List[Tuple[float, float, int]] = []
+            for k in range(activity.shape[1]):
+                spk_times = [
+                    times[i] for i in range(len(times)) if activity[i, k]
+                ]
+                spk_turns = merge_frame_labels_to_turns(
+                    spk_times, [k] * len(spk_times), gap_tolerance=0.5
+                )
+                turns.extend(spk_turns)
+            return sorted(turns, key=lambda t: t[0])
+
+        return merge_frame_labels_to_turns(times, labels, gap_tolerance=0.5)
+
+    # -- manifest/RTTM contract -------------------------------------------
+    def diarize(self) -> List[Tuple[float, float, int]]:
+        """Run from the manifest; write ``pred_rttms/<uri>.rttm``."""
+        d = self.cfg.diarizer
+        with open(d.manifest_filepath) as f:
+            entry = json.loads(f.readline())
+        audio_path = entry["audio_filepath"]
+        audio = decode_audio(audio_path)
+        offset = entry.get("offset") or 0
+        if offset:
+            audio = audio[int(offset * SAMPLE_RATE) :]
+        if entry.get("duration"):
+            audio = audio[: int(entry["duration"] * SAMPLE_RATE)]
+
+        num_speakers = entry.get("num_speakers")
+        if not d.clustering.parameters.oracle_num_speakers:
+            num_speakers = None
+        turns = self.diarize_waveform(audio, num_speakers=num_speakers)
+
+        uri = os.path.splitext(os.path.basename(audio_path))[0]
+        out_dir = os.path.join(d.out_dir, "pred_rttms")
+        os.makedirs(out_dir, exist_ok=True)
+        write_rttm(os.path.join(out_dir, f"{uri}.rttm"), turns, uri)
+        return turns
+
+
+class SpeakerDiarizationPipeline:
+    """pyannote-style facade (reference main.py:116-161 contract):
+
+        pipeline = SpeakerDiarizationPipeline.from_pretrained(...)
+        diarization = pipeline(path, num_speakers=..., min_speakers=...,
+                               max_speakers=...)
+        for turn, _, speaker in diarization.itertracks(yield_label=True):
+            turn.start, turn.end, speaker
+    """
+
+    def __init__(self, cfg: Optional[DiarizationConfig] = None):
+        from ..config import domain_config
+
+        self.diarizer = NeuralDiarizer(cfg or domain_config("general"))
+
+    @classmethod
+    def from_pretrained(cls, name: str = "speaker-diarization", **_ignored):
+        return cls()
+
+    def to(self, device) -> "SpeakerDiarizationPipeline":
+        return self
+
+    def __call__(
+        self,
+        audio_path: str,
+        num_speakers: Optional[int] = None,
+        min_speakers: int = 1,
+        max_speakers: int = 8,
+    ) -> "DiarizationAnnotation":
+        audio = decode_audio(audio_path)
+        turns = self.diarizer.diarize_waveform(
+            audio,
+            num_speakers=num_speakers,
+            min_speakers=min_speakers,
+            max_speakers=max_speakers,
+        )
+        return DiarizationAnnotation(turns)
+
+
+class _Turn:
+    def __init__(self, start: float, end: float):
+        self.start = start
+        self.end = end
+
+
+class DiarizationAnnotation:
+    """Minimal pyannote.Annotation-compatible result object."""
+
+    def __init__(self, turns: Sequence[Tuple[float, float, int]]):
+        self.turns = list(turns)
+
+    def itertracks(self, yield_label: bool = False):
+        for i, (start, end, spk) in enumerate(self.turns):
+            turn = _Turn(start, end)
+            if yield_label:
+                yield turn, str(i), f"SPEAKER_{spk:02d}"
+            else:
+                yield turn, str(i)

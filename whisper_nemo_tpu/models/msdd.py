@@ -1,0 +1,202 @@
+"""Multiscale diarization decoder (MSDD) in pure-functional JAX.
+
+The overlap-aware refinement stage of the reference's diarization stack
+(SURVEY D5d: ``diar_msdd_telephonic``, sigmoid 0.7, 50 s split windows,
+pairwise inference, overlap off above 5 speakers —
+telephonic.yaml:58-67). Given multiscale segment embeddings and the
+cluster-average embedding of each speaker, a per-pair LSTM over the
+scale-similarity features emits an independent sigmoid speech
+probability per speaker per segment, which is what allows two speakers
+to be active at once (overlap).
+
+The LSTM is a ``lax.scan``; pairwise inference over K speakers runs the
+(K choose 2) pairs as a batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from itertools import combinations
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class MsddDims:
+    n_scales: int = 5
+    emb_dim: int = 192
+    hidden: int = 256
+    proj: int = 96
+
+
+def _lstm_step(p, carry, x):
+    h, c = carry
+    z = (
+        jnp.dot(x, p["wx"], preferred_element_type=jnp.float32)
+        + jnp.dot(h, p["wh"], preferred_element_type=jnp.float32)
+        + p["b"]
+    )
+    i, f, g, o = jnp.split(z, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    return (h, c), h
+
+
+def _lstm(p, xs):
+    """[B, T, F] → [B, T, H] (unidirectional scan over time)."""
+    b = xs.shape[0]
+    h0 = jnp.zeros((b, p["wh"].shape[0]), xs.dtype)
+    carry, hs = jax.lax.scan(
+        lambda carry, x: _lstm_step(p, carry, x),
+        (h0, h0),
+        xs.swapaxes(0, 1),
+    )
+    return hs.swapaxes(0, 1)
+
+
+def pair_features(
+    seg_embs: jnp.ndarray,  # [n_scales, T, D] multiscale segment embeddings
+    spk_avg: jnp.ndarray,  # [n_scales, 2, D] cluster-average embeddings
+    scale_weights: jnp.ndarray,  # [n_scales]
+) -> jnp.ndarray:
+    """Scale-similarity features for one speaker pair: [T, 2*n_scales+2].
+
+    Per scale: cosine similarity of each segment embedding to both
+    speakers' averages, weighted; plus the per-segment similarity margin
+    (who is closer) summarized over scales.
+    """
+    def _norm(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+
+    seg_n = _norm(seg_embs)  # [S, T, D]
+    avg_n = _norm(spk_avg)  # [S, 2, D]
+    sims = jnp.einsum(
+        "std,skd->stk", seg_n, avg_n, preferred_element_type=jnp.float32
+    )  # [S, T, 2]
+    w = scale_weights[:, None, None] / jnp.sum(scale_weights)
+    weighted = (sims * w).sum(axis=0)  # [T, 2]
+    flat = sims.transpose(1, 0, 2).reshape(sims.shape[1], -1)  # [T, 2S]
+    return jnp.concatenate([flat, weighted], axis=-1)
+
+
+def msdd_logits(
+    params: Params,
+    feats: jnp.ndarray,  # [B, T, 2*n_scales+2] pair features
+) -> jnp.ndarray:
+    """Pair features → per-speaker logits [B, T, 2]."""
+    x = jnp.dot(
+        feats, params["in"]["w"], preferred_element_type=jnp.float32
+    ) + params["in"]["b"]
+    x = jnp.tanh(x)
+    h = _lstm(params["lstm"], x)
+    return (
+        jnp.dot(h, params["out"]["w"], preferred_element_type=jnp.float32)
+        + params["out"]["b"]
+    )
+
+
+def init_msdd_params(key, dims: MsddDims) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    f_in = 2 * dims.n_scales + 2
+    return {
+        "in": {
+            "w": jax.random.normal(k1, (f_in, dims.proj)) / np.sqrt(f_in),
+            "b": jnp.zeros((dims.proj,)),
+        },
+        "lstm": {
+            "wx": jax.random.normal(k2, (dims.proj, 4 * dims.hidden))
+            / np.sqrt(dims.proj),
+            "wh": jax.random.normal(k3, (dims.hidden, 4 * dims.hidden))
+            / np.sqrt(dims.hidden),
+            "b": jnp.zeros((4 * dims.hidden,)),
+        },
+        "out": {
+            "w": jax.random.normal(k4, (dims.hidden, 2))
+            / np.sqrt(dims.hidden),
+            "b": jnp.zeros((2,)),
+        },
+    }
+
+
+def msdd_infer(
+    params: Params,
+    seg_embs: np.ndarray,  # [n_scales, T, D]
+    cluster_labels: np.ndarray,  # [T] from spectral clustering
+    scale_weights: Sequence[float],
+    sigmoid_threshold: float = 0.7,
+    diar_window: int = 50,
+    seg_duration: float = 0.5,
+    infer_batch_size: int = 25,
+    overlap_infer_spk_limit: int = 5,
+) -> np.ndarray:
+    """Overlap-aware per-segment speaker activity [T, n_spk] bool.
+
+    Follows the reference's MSDD inference contract: split into
+    ``diar_window``-second chunks, run every speaker pair, average the
+    per-speaker sigmoids over the pairs containing that speaker,
+    threshold at ``sigmoid_threshold``; if the estimated speaker count
+    exceeds ``overlap_infer_spk_limit`` (or a segment ends with no
+    active speaker) fall back to the clustering label.
+    """
+    n_scales, t_total, d = seg_embs.shape
+    speakers = np.unique(cluster_labels)
+    n_spk = len(speakers)
+    activity = np.zeros((t_total, n_spk), bool)
+
+    if n_spk == 1 or n_spk > overlap_infer_spk_limit:
+        for i, spk in enumerate(speakers):
+            activity[:, i] = cluster_labels == spk
+        return activity
+
+    # cluster-average embeddings per scale
+    avg = np.stack(
+        [
+            np.stack(
+                [
+                    seg_embs[s][cluster_labels == spk].mean(axis=0)
+                    for spk in speakers
+                ]
+            )
+            for s in range(n_scales)
+        ]
+    )  # [S, K, D]
+
+    w = jnp.asarray(scale_weights, jnp.float32)
+    window_t = max(1, int(diar_window / max(seg_duration, 1e-6)))
+    sig_sum = np.zeros((t_total, n_spk), np.float64)
+    sig_cnt = np.zeros((n_spk,), np.float64)
+
+    pairs = list(combinations(range(n_spk), 2))
+    for start in range(0, t_total, window_t):
+        chunk = jnp.asarray(seg_embs[:, start : start + window_t])
+        feats = jnp.stack(
+            [
+                pair_features(chunk, jnp.asarray(avg[:, [a, b]]), w)
+                for a, b in pairs
+            ]
+        )  # [P, Tc, F]
+        for bstart in range(0, len(pairs), infer_batch_size):
+            sub = feats[bstart : bstart + infer_batch_size]
+            probs = jax.nn.sigmoid(msdd_logits(params, sub))
+            probs = np.asarray(probs)  # [p, Tc, 2]
+            for pi, (a, b) in enumerate(
+                pairs[bstart : bstart + infer_batch_size]
+            ):
+                tc = probs.shape[1]
+                sig_sum[start : start + tc, a] += probs[pi, :, 0]
+                sig_sum[start : start + tc, b] += probs[pi, :, 1]
+    for k in range(n_spk):
+        sig_cnt[k] = sum(1 for p in pairs if k in p)
+    mean_sig = sig_sum / np.maximum(sig_cnt[None, :], 1.0)
+    activity = mean_sig > sigmoid_threshold
+
+    # segments with no active speaker fall back to the clustering label
+    empty = ~activity.any(axis=1)
+    for i, spk in enumerate(speakers):
+        activity[empty & (cluster_labels == spk), i] = True
+    return activity

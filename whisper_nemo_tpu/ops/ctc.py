@@ -67,6 +67,10 @@ def forced_align(
     """
     T, _ = emissions.shape
     N = len(labels)
+    if N == 0:
+        return np.full((T,), -1, np.int32), float(
+            emissions[:, blank_id].sum()
+        )
     L = 2 * N + 1
 
     state_labels = np.full((L,), blank_id, np.int32)

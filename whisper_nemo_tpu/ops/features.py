@@ -1,0 +1,75 @@
+"""Generic log-mel acoustic features for the diarization models.
+
+MarbleNet/TitaNet consume NeMo-style features: 25 ms window / 10 ms hop,
+natural-log mel energies, per-feature mean/variance normalization over
+the utterance. Reuses the MXU matmul formulation of ``ops.mel`` with a
+separate window/constant set (512-point FFT, HTK-free slaney mel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mel import mel_filter_bank
+
+SAMPLE_RATE = 16000
+WIN_LENGTH = 400  # 25 ms
+HOP_LENGTH = 160  # 10 ms
+N_FFT = 512
+
+
+@functools.lru_cache(maxsize=4)
+def _dft_constants(n_mels: int):
+    n_freqs = N_FFT // 2 + 1
+    j = np.arange(N_FFT)[:, None]
+    k = np.arange(n_freqs)[None, :]
+    angle = 2.0 * np.pi * j * k / N_FFT
+    window = np.zeros(N_FFT)
+    # centered Hann window of WIN_LENGTH zero-padded to N_FFT
+    hann = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(WIN_LENGTH) / WIN_LENGTH))
+    window[:WIN_LENGTH] = hann
+    cos_m = (window[:, None] * np.cos(angle)).astype(np.float32)
+    sin_m = (window[:, None] * -np.sin(angle)).astype(np.float32)
+    fb = mel_filter_bank(n_freqs, n_mels, SAMPLE_RATE)
+    return cos_m, sin_m, fb
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels", "normalize"))
+def log_mel_features(
+    waveform: jnp.ndarray, n_mels: int = 80, normalize: bool = True
+) -> jnp.ndarray:
+    """[T] or [B, T] waveform → [B?, n_frames, n_mels] log-mel features.
+
+    Natural log with 2^-24 floor; optional per-feature utterance
+    mean/variance normalization (NeMo ``normalize: per_feature``).
+    """
+    squeeze = waveform.ndim == 1
+    if squeeze:
+        waveform = waveform[None]
+    cos_np, sin_np, fb_np = _dft_constants(n_mels)
+    cos_m, sin_m, fb = jnp.array(cos_np), jnp.array(sin_np), jnp.array(fb_np)
+
+    x = waveform.astype(jnp.float32)
+    pad = WIN_LENGTH // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = (x.shape[-1] - WIN_LENGTH) // HOP_LENGTH + 1
+    idx = (
+        jnp.arange(WIN_LENGTH)[None, :]
+        + HOP_LENGTH * jnp.arange(n_frames)[:, None]
+    )
+    frames = x[:, idx]  # [B, T', WIN]
+    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, N_FFT - WIN_LENGTH)))
+    re = jnp.dot(frames, cos_m, preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sin_m, preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    mel = jnp.dot(power, fb, preferred_element_type=jnp.float32)
+    feats = jnp.log(jnp.maximum(mel, 2.0**-24))
+    if normalize:
+        mu = jnp.mean(feats, axis=1, keepdims=True)
+        sd = jnp.std(feats, axis=1, keepdims=True)
+        feats = (feats - mu) / (sd + 1e-5)
+    return feats[0] if squeeze else feats
