@@ -13,6 +13,9 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
+# production-scale fallback models (MMS-300M aligner etc.) are too slow
+# for CPU unit tests; components select compact dims under this flag
+os.environ["WNT_TEST_SMALL_MODELS"] = "1"
 
 import jax
 

@@ -90,7 +90,25 @@ def load_alignment_model(
     otherwise (zero-egress fallback, logged)."""
     tokenizer = AlignmentTokenizer()
     vocab_size = len(tokenizer.vocab) - 1  # star column appended at runtime
-    dims = Wav2Vec2Dims(vocab_size=vocab_size)
+    if os.environ.get("WNT_TEST_SMALL_MODELS"):
+        dims = Wav2Vec2Dims(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            intermediate_size=128,
+            conv_dim=(32,) * 7,
+        )
+    else:
+        # MMS-300M-scale acoustic model (the reference aligner's size,
+        # SURVEY D4): 24-layer / 1024-wide wav2vec2
+        dims = Wav2Vec2Dims(
+            vocab_size=vocab_size,
+            hidden_size=1024,
+            num_layers=24,
+            num_heads=16,
+            intermediate_size=4096,
+        )
     ckpt = os.path.join(model_cache_dir(), "ctc_aligner.npz")
     if os.path.exists(ckpt):
         params = load_params(ckpt)

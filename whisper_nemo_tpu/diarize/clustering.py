@@ -86,24 +86,37 @@ def nmesc_search(
     max_num_speakers: int = 8,
     max_rp_threshold: float = 0.25,
     sparse_search_volume: int = 30,
+    search_subsample: int = 1500,
 ) -> Tuple[int, int]:
     """Search the neighbor count p minimizing the NME ratio.
 
     Returns (best_p, estimated_num_speakers). Contract: the
     max_rp_threshold bounds p ≤ N·max_rp; sparse_search_volume sets how
     many p values are probed (reference telephonic.yaml:52-53).
+
+    For large N the p-search runs on an evenly strided subsample of the
+    affinity (each probe costs an O(n³) eigendecomposition; the chosen
+    neighbor *ratio* transfers back to the full matrix), then the final
+    clustering still uses every segment.
     """
     n = affinity.shape[0]
-    p_max = max(2, int(np.floor(n * max_rp_threshold)))
+    search_aff = affinity
+    scale = 1.0
+    if n > search_subsample:
+        idx = np.linspace(0, n - 1, search_subsample).astype(int)
+        search_aff = affinity[np.ix_(idx, idx)]
+        scale = n / len(idx)
+    m = search_aff.shape[0]
+    p_max = max(2, int(np.floor(m * max_rp_threshold)))
     candidates = np.unique(
         np.linspace(1, p_max, num=min(sparse_search_volume, p_max)).astype(int)
     )
     best = (np.inf, 2, 1)  # (nme, p, n_spk)
     for p in candidates:
-        nme, n_spk = _nme_ratio(affinity, int(p), max_num_speakers)
+        nme, n_spk = _nme_ratio(search_aff, int(p), max_num_speakers)
         if nme < best[0]:
             best = (nme, int(p), n_spk)
-    return best[1], best[2]
+    return max(1, int(round(best[1] * scale))), best[2]
 
 
 def _kmeans(

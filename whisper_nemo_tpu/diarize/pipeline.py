@@ -65,8 +65,9 @@ _TITANET_LARGE = titanet.TitaNetDims()
 class NeuralDiarizer:
     """Manifest-driven diarizer (NeMo ``NeuralDiarizer`` contract)."""
 
-    def __init__(self, cfg: DiarizationConfig):
+    def __init__(self, cfg: DiarizationConfig, force_large_models: bool = False):
         self.cfg = cfg
+        self._force_large = force_large_models
         self._load_models()
 
     # -- model resolution --------------------------------------------------
@@ -87,6 +88,12 @@ class NeuralDiarizer:
         if os.path.exists(spk_ckpt):
             self.titanet_params = load_params(spk_ckpt)
             self.titanet_dims = _TITANET_LARGE
+        elif self._force_large:
+            # benchmarking path: production-scale architecture, random init
+            self.titanet_dims = _TITANET_LARGE
+            self.titanet_params = titanet.init_titanet_params(
+                jax.random.PRNGKey(2), self.titanet_dims
+            )
         else:
             logger.warning(
                 "no speaker-embedding checkpoint at %s; using compact "

@@ -36,6 +36,7 @@ class DecodeOptions:
     """Static decode configuration (hashable: participates in jit keys)."""
 
     max_new_tokens: int = 224
+    min_new_tokens: int = 0  # EOT suppressed below this generated count
     suppress_blank: bool = True
     without_timestamps: bool = True
     temperature: float = 0.0
@@ -188,6 +189,13 @@ def greedy_decode(
 
         in_prompt = pos < n_prompt
         filt = logits + suppress_mask[None, :]
+        if opts.min_new_tokens > 0:
+            below_min = (pos - n_prompt) < opts.min_new_tokens
+            filt = jnp.where(
+                below_min,
+                filt.at[:, opts.eot].set(-jnp.inf),
+                filt,
+            )
         if opts.suppress_blank:
             first_step = pos == n_prompt
             blank_mask = (

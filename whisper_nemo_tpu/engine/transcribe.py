@@ -185,6 +185,7 @@ class WhisperEngine:
         without_timestamps: bool,
         temperature: float,
         rng_seed: int = 0,
+        min_new_tokens: int = 0,
     ):
         b = feats.shape[0]
         prompt = self.tokenizer.sot_sequence(
@@ -195,6 +196,7 @@ class WhisperEngine:
         opts = self._make_opts(
             without_timestamps=without_timestamps,
             temperature=float(temperature),
+            min_new_tokens=min_new_tokens,
         )
         prompt_arr = jnp.tile(jnp.asarray(prompt, jnp.int32)[None], (b, 1))
         tokens, length, sum_logprob, no_speech = greedy_decode(
@@ -225,6 +227,7 @@ class WhisperEngine:
         batch_size: int = 8,
         without_timestamps: bool = True,
         use_vad: bool = True,
+        min_new_tokens: int = 0,
     ) -> Tuple[List[Segment], TranscriptionInfo]:
         duration = len(audio) / SAMPLE_RATE
         if use_vad:
@@ -258,7 +261,8 @@ class WhisperEngine:
             )
             feats = self.encode_windows(mels)
             tokens, lengths, sum_lp, no_speech, n_prompt = self._decode_batch(
-                feats, language, suppress_mask, without_timestamps, 0.0
+                feats, language, suppress_mask, without_timestamps, 0.0,
+                min_new_tokens=min_new_tokens,
             )
             for i, (s, e) in enumerate(batch):
                 toks = tokens[i, n_prompt : n_prompt + lengths[i]].tolist()

@@ -54,6 +54,26 @@ def _viterbi_forward(
     return alpha_final, bps
 
 
+@jax.jit
+def _viterbi_backtrack(
+    alpha_final: jnp.ndarray, bps: jnp.ndarray
+) -> jnp.ndarray:
+    """On-device backtrack: avoids transferring the O(T·L) backpointer
+    matrix to the host (it can reach hundreds of MB for hour-scale
+    audio); only the [T] state path leaves the device."""
+    L = alpha_final.shape[0]
+    start = jnp.where(alpha_final[L - 1] >= alpha_final[L - 2], L - 1, L - 2)
+
+    def step(s, bp_t):
+        # bps[t] holds the backpointer for the transition into time t+1,
+        # so processing it maps path[t+1] -> path[t]
+        s_new = s - bp_t[s].astype(jnp.int32)
+        return s_new, s_new
+
+    _, states = jax.lax.scan(step, start, bps, reverse=True)
+    return jnp.concatenate([states, start[None]])
+
+
 def forced_align(
     emissions: np.ndarray,  # [T, V] log-probs, star column at index V-1
     labels: np.ndarray,  # [N] int label ids into the emission columns
@@ -84,17 +104,10 @@ def forced_align(
         jnp.asarray(state_labels),
         jnp.asarray(allow_skip),
     )
+    # backtrack on-device: only the [T] path transfers to the host
+    path = np.asarray(_viterbi_backtrack(alpha, bps))
     alpha = np.asarray(alpha)
-    bps = np.asarray(bps)  # [T-1, L]
-
-    # backtrack (host): start at the better of the two admissible finals
-    s = L - 1 if alpha[L - 1] >= alpha[L - 2] else L - 2
-    score = float(alpha[s])
-    path = np.empty((T,), np.int32)
-    path[T - 1] = s
-    for t in range(T - 2, -1, -1):
-        s = s - int(bps[t, s])
-        path[t] = s
+    score = float(alpha[path[-1]])
 
     frame_labels = np.where(path % 2 == 1, (path - 1) // 2, -1)
     return frame_labels.astype(np.int32), score

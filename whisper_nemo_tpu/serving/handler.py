@@ -1,0 +1,243 @@
+"""Serverless-style transcription job handler.
+
+The TPU-native replacement for the reference's RunPod worker
+(main.py:361-558): models load once at worker start, each job dict
+(``{"id", "input": {...}}``) is validated against the request schema,
+the audio is downloaded, transcribed (openai-whisper-contract engine)
+and optionally diarized, merged, smoothed and formatted; the JSON
+response carries the same French-labeled fields and statistics block.
+
+``serve`` runs a minimal asyncio HTTP queue front end (stdlib +
+aiohttp) exposing POST /run with the same job schema — the stand-in for
+``runpod.serverless.start``.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import gc
+import os
+import traceback
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+from ..post import (
+    create_readable_transcript_improved,
+    merge_transcription_with_speakers_improved,
+)
+from ..utils import get_logger
+from .download import download_audio_file
+from .schemas import TranscriptionRequest, TranscriptionResponse
+
+logger = get_logger(__name__)
+
+WHISPER_MODEL_NAME = os.environ.get("WNT_SERVING_MODEL", "large-v2")
+
+whisper_model = None
+diarization_pipeline = None
+
+
+def load_models() -> None:
+    """Load the ASR engine and the diarization pipeline once
+    (contract: main.py:102-138; placement is mesh-driven on TPU rather
+    than per-GPU device strings)."""
+    global whisper_model, diarization_pipeline
+    from ..asr import load_model
+    from ..diarize import SpeakerDiarizationPipeline
+
+    logger.info("loading whisper %s", WHISPER_MODEL_NAME)
+    whisper_model = load_model(WHISPER_MODEL_NAME)
+    logger.info("loading diarization pipeline")
+    diarization_pipeline = SpeakerDiarizationPipeline.from_pretrained(
+        "speaker-diarization"
+    )
+    logger.info("models ready")
+
+
+def _diarization_turns(
+    audio_path: str,
+    num_speakers: Optional[int],
+    min_speakers: int,
+    max_speakers: int,
+):
+    result = diarization_pipeline(
+        audio_path,
+        num_speakers=num_speakers,
+        min_speakers=min_speakers,
+        max_speakers=max_speakers,
+    )
+    return [
+        {"start": turn.start, "end": turn.end, "speaker": speaker}
+        for turn, _, speaker in result.itertracks(yield_label=True)
+    ]
+
+
+async def process_transcription_optimized(
+    audio_path: str, request: TranscriptionRequest
+) -> TranscriptionResponse:
+    """Transcribe (+ diarize + merge + format); error-wrapped response
+    on failure (contract: main.py:361-486)."""
+    start_time = datetime.now()
+    try:
+        language = None if request.language == "auto" else request.language
+        transcription = whisper_model.transcribe(
+            audio_path,
+            language=language,
+            fp16=True,
+            condition_on_previous_text=False,
+            no_speech_threshold=0.6,
+            logprob_threshold=-1.0,
+            compression_ratio_threshold=2.4,
+            temperature=0.0,
+            verbose=False,
+        )
+
+        if request.transcription_only:
+            elapsed = (datetime.now() - start_time).total_seconds()
+            return TranscriptionResponse(
+                success=True,
+                model=WHISPER_MODEL_NAME,
+                transcription_brute=transcription["text"],
+                parametres={
+                    "transcription_only": True,
+                    "language": request.language,
+                },
+                statistiques={
+                    "duree_totale": f"{transcription.get('duration', 0):.1f}s",
+                    "nombre_segments": len(transcription["segments"]),
+                    "language_detected": transcription.get(
+                        "language", "unknown"
+                    ),
+                },
+                processing_time=elapsed,
+            )
+
+        turns = _diarization_turns(
+            audio_path,
+            request.num_speakers,
+            request.min_speakers,
+            request.max_speakers,
+        )
+        merged = merge_transcription_with_speakers_improved(
+            transcription["segments"], turns
+        )
+        readable = create_readable_transcript_improved(merged)
+        gc.collect()
+
+        elapsed = (datetime.now() - start_time).total_seconds()
+        detected = len(
+            {s["speaker"] for s in merged if s["speaker"] != "INCONNU"}
+        )
+        return TranscriptionResponse(
+            success=True,
+            model=WHISPER_MODEL_NAME,
+            transcription_brute=transcription["text"],
+            transcription_formatee=readable,
+            segments_detailles=merged,
+            parametres={
+                "num_speakers_force": request.num_speakers,
+                "min_speakers": request.min_speakers,
+                "max_speakers": request.max_speakers,
+                "language": request.language,
+            },
+            statistiques={
+                "speakers_detectes": detected,
+                "speakers_inconnus": len(
+                    [s for s in merged if s["speaker"] == "INCONNU"]
+                ),
+                "duree_totale": (
+                    f"{max(s['end'] for s in merged):.1f}s" if merged else "0s"
+                ),
+                "nombre_segments": len(merged),
+                "confiance_moyenne": (
+                    f"{sum(s['confidence'] for s in merged) / len(merged) * 100:.1f}%"
+                    if merged
+                    else "0%"
+                ),
+                "segments_lisses": len(
+                    [s for s in merged if s.get("smoothed")]
+                ),
+                "language_detected": transcription.get(
+                    "language", "unknown"
+                ),
+            },
+            processing_time=elapsed,
+        )
+    except Exception as exc:
+        logger.error("processing failed: %s", exc)
+        logger.error(traceback.format_exc())
+        gc.collect()
+        elapsed = (datetime.now() - start_time).total_seconds()
+        return TranscriptionResponse(
+            success=False,
+            model=WHISPER_MODEL_NAME,
+            transcription_brute="",
+            parametres={"error": True},
+            statistiques={"processing_time": elapsed},
+            processing_time=elapsed,
+            error=f"Processing failed: {exc}",
+        )
+
+
+async def handler(job: Dict[str, Any]) -> Dict[str, Any]:
+    """Job-dict entry point (contract: main.py:489-538)."""
+    job_input = job.get("input", {})
+    try:
+        request = TranscriptionRequest(**job_input)
+        audio_path = await download_audio_file(str(request.audio_url))
+        try:
+            result = await process_transcription_optimized(
+                audio_path, request
+            )
+        finally:
+            try:
+                os.unlink(audio_path)
+            except OSError as exc:
+                logger.warning("could not delete temp file: %s", exc)
+
+        if result.error:
+            return {
+                "success": False,
+                "error": result.error,
+                "processing_time": result.processing_time,
+            }
+        return {
+            "success": True,
+            "model": result.model,
+            "transcription_brute": result.transcription_brute,
+            "transcription_formatee": result.transcription_formatee,
+            "segments_detailles": result.segments_detailles,
+            "parametres": result.parametres,
+            "statistiques": result.statistiques,
+            "processing_time": result.processing_time,
+        }
+    except Exception as exc:
+        logger.error("handler error: %s", exc)
+        return {"success": False, "error": f"Handler error: {exc}"}
+
+
+def serve(host: str = "0.0.0.0", port: int = 8000) -> None:
+    """Minimal HTTP job server: POST /run with ``{"input": {...}}``
+    (the runpod.serverless.start stand-in, main.py:558)."""
+    from aiohttp import web
+
+    load_models()
+
+    async def run_route(request: "web.Request") -> "web.Response":
+        job = await request.json()
+        result = await handler(job)
+        return web.json_response(result)
+
+    async def health(_request) -> "web.Response":
+        return web.json_response(
+            {"status": "ok", "model": WHISPER_MODEL_NAME}
+        )
+
+    app = web.Application()
+    app.router.add_post("/run", run_route)
+    app.router.add_get("/health", health)
+    web.run_app(app, host=host, port=port)
+
+
+if __name__ == "__main__":
+    serve()
