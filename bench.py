@@ -70,7 +70,11 @@ def main() -> None:
     words = ("hello world this is a benchmark transcript " * 250).split()
     transcript = " ".join(words[: AUDIO_SECONDS * 150 // 60])
 
-    def run_once():
+    def log(msg):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+              flush=True)
+
+    def run_once(tag):
         timings = {}
         t0 = time.time()
         segments, info = engine.transcribe_batched(
@@ -80,6 +84,7 @@ def main() -> None:
             min_new_tokens=64,
         )
         timings["asr"] = time.time() - t0
+        log(f"{tag} asr {timings['asr']:.1f}s ({len(segments)} segments)")
 
         t0 = time.time()
         emissions, stride = generate_emissions(aligner, audio, batch_size=8)
@@ -92,16 +97,19 @@ def main() -> None:
         spans = get_spans(tokens_starred, aligned, blank)
         word_ts = postprocess_results(text_starred, spans, stride, scores)
         timings["align"] = time.time() - t0
+        log(f"{tag} align {timings['align']:.1f}s ({len(word_ts)} words)")
 
         t0 = time.time()
         turns = diarizer.diarize_waveform(audio)
         timings["diarize"] = time.time() - t0
+        log(f"{tag} diarize {timings['diarize']:.1f}s ({len(turns)} turns)")
         return timings, len(segments), len(word_ts), len(turns)
 
     # warm-up run compiles every jitted stage; the measured run reflects
     # steady-state serving (compiles are cached across requests)
-    run_once()
-    timings, n_segs, n_words, n_turns = run_once()
+    log("warm-up run (compiles)")
+    run_once("warmup")
+    timings, n_segs, n_words, n_turns = run_once("measured")
 
     total = sum(timings.values())
     rtf = AUDIO_SECONDS / total

@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from whisper_nemo_tpu.models.whisper import (
+    WhisperDims,
+    encode,
+    init_whisper_params,
+)
+from whisper_nemo_tpu.parallel import (
+    make_mesh,
+    shard_whisper_params,
+    split_core_groups,
+)
+
+
+def test_make_mesh_shapes(cpu_devices):
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(ValueError):
+        make_mesh({"dp": 3, "tp": 2})
+
+
+def test_split_core_groups(cpu_devices):
+    groups = split_core_groups([0.75, 0.25])
+    assert [len(g) for g in groups] == [6, 2]
+    # disjoint and exhaustive
+    flat = [d for g in groups for d in g]
+    assert len(set(flat)) == 8
+    groups = split_core_groups([0.5, 0.5])
+    assert [len(g) for g in groups] == [4, 4]
+    # every group gets at least one device
+    groups = split_core_groups([0.99, 0.01])
+    assert min(len(g) for g in groups) >= 1
+
+
+def test_sharded_encode_matches_single_device(cpu_devices):
+    dims = WhisperDims(
+        n_audio_ctx=32,
+        n_audio_layer=2,
+        n_text_layer=1,
+        n_audio_state=64,
+        n_text_state=64,
+        n_audio_head=4,
+        n_text_head=4,
+        n_vocab=128,
+        n_text_ctx=16,
+    )
+    params = init_whisper_params(jax.random.PRNGKey(0), dims)
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 80, 64)), jnp.float32
+    )
+    ref = np.asarray(encode(params, mel, dims))
+
+    mesh = make_mesh({"dp": 2, "tp": 2}, jax.devices()[:4])
+    sharded_params = shard_whisper_params(params, mesh, dims)
+    mel_sharded = jax.device_put(
+        mel, NamedSharding(mesh, P("dp", None, None))
+    )
+    with mesh:
+        out = jax.jit(lambda p, m: encode(p, m, dims))(
+            sharded_params, mel_sharded
+        )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_graft_entry_multichip(cpu_devices):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -50,9 +50,16 @@ def laplacian(affinity_bin: np.ndarray) -> np.ndarray:
 
 
 def eigen_decompose(lap: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Ascending eigenvalues/vectors of a symmetric matrix (device)."""
-    evals, evecs = jnp.linalg.eigh(jnp.asarray(lap, jnp.float32))
-    return np.asarray(evals), np.asarray(evecs)
+    """Ascending eigenvalues/vectors of a symmetric matrix.
+
+    Runs on the host: XLA's TPU eigh pays a ~90 s compile per distinct
+    shape (measured on v5e via the axon path), while LAPACK handles the
+    diarization-scale matrices (≤ a few thousand) in seconds with no
+    compilation. Device-side iterative eigensolving for very large N
+    lives in ``ops.eig.smallest_eigenpairs`` (LOBPCG).
+    """
+    evals, evecs = np.linalg.eigh(np.asarray(lap, np.float64))
+    return evals.astype(np.float32), evecs.astype(np.float32)
 
 
 def estimate_num_speakers(

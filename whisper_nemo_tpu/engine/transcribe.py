@@ -28,7 +28,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.whisper import WhisperDims, encode
-from ..ops.mel import HOP_LENGTH, N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram
+from ..ops.mel import (
+    HOP_LENGTH,
+    N_SAMPLES,
+    SAMPLE_RATE,
+    log_mel_spectrogram,
+    log_mel_spectrogram_batch,
+)
 from ..text.languages import LANGUAGES
 from ..text.tokenizer import WhisperTokenizer
 from ..utils import get_logger
@@ -256,8 +262,15 @@ class WhisperEngine:
         segments: List[Segment] = []
         for batch_start in range(0, len(windows), batch_size):
             batch = windows[batch_start : batch_start + batch_size]
-            mels = jnp.stack(
-                [self.mel_window(audio[s:e]) for s, e in batch]
+            # assemble the window batch on the host: one transfer + one
+            # batched mel/encode invocation per batch; the final partial
+            # batch is zero-padded to keep a single compiled shape
+            waves = np.zeros((batch_size, N_SAMPLES), np.float32)
+            for i, (s, e) in enumerate(batch):
+                chunk = audio[s:e][:N_SAMPLES]
+                waves[i, : len(chunk)] = chunk
+            mels = log_mel_spectrogram_batch(
+                jnp.asarray(waves), self.dims.n_mels
             )
             feats = self.encode_windows(mels)
             tokens, lengths, sum_lp, no_speech, n_prompt = self._decode_batch(

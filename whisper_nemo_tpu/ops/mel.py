@@ -217,3 +217,27 @@ def log_mel_spectrogram(
     else:
         raise ValueError(f"unknown impl {impl!r}")
     return _finalize(logmel).T  # [n_mels, n_frames]
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def log_mel_spectrogram_batch(
+    waveforms: jnp.ndarray, n_mels: int = 80
+) -> jnp.ndarray:
+    """Batched mel: [B, T] equal-length waveforms → [B, n_mels, T//hop].
+
+    One device invocation for a whole batch of decode windows — the
+    per-window path costs a host→device transfer and kernel launch per
+    window, which dominates at long-form batch sizes. Dynamic-range
+    normalization is per-window, matching the unbatched path.
+    """
+    cos_np, sin_np, fb_np = _dft_mel_constants(N_FFT, n_mels)
+    cos_m, sin_m, fb = jnp.array(cos_np), jnp.array(sin_np), jnp.array(fb_np)
+
+    waveforms = waveforms.astype(jnp.float32)
+    n_frames = waveforms.shape[-1] // HOP_LENGTH
+    padded = jnp.pad(
+        waveforms, ((0, 0), (N_FFT // 2, N_FFT // 2)), mode="reflect"
+    )
+    frames = jax.vmap(lambda p: _frame_signal(p, n_frames))(padded)
+    logmel = _log_mel_xla(frames, cos_m, sin_m, fb)  # batched matmuls
+    return _finalize(logmel).swapaxes(-1, -2)
