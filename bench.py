@@ -66,9 +66,22 @@ def main() -> None:
 
     # ~150 wpm synthetic transcript for the alignment stage (the ASR
     # text is unusable with random weights; the aligner cost depends on
-    # T x label-count, which this matches)
+    # per-segment frame x label counts, which this matches). One timed
+    # segment per 25 s span, like the batched ASR path produces.
     words = ("hello world this is a benchmark transcript " * 250).split()
-    transcript = " ".join(words[: AUDIO_SECONDS * 150 // 60])
+    transcript_words = words[: AUDIO_SECONDS * 150 // 60]
+    seg_len_s = 25
+    wps = len(transcript_words) / AUDIO_SECONDS
+    timed_segments = []
+    for s in range(0, AUDIO_SECONDS, seg_len_s):
+        w0, w1 = int(s * wps), int((s + seg_len_s) * wps)
+        timed_segments.append(
+            {
+                "start": float(s),
+                "end": float(min(s + seg_len_s, AUDIO_SECONDS)),
+                "text": " ".join(transcript_words[w0:w1]),
+            }
+        )
 
     def log(msg):
         print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
@@ -87,15 +100,12 @@ def main() -> None:
         log(f"{tag} asr {timings['asr']:.1f}s ({len(segments)} segments)")
 
         t0 = time.time()
-        emissions, stride = generate_emissions(aligner, audio, batch_size=8)
-        tokens_starred, text_starred = preprocess_text(
-            transcript, romanize=True, language="eng"
+        from whisper_nemo_tpu.align.segmented import align_segments
+
+        word_ts = align_segments(
+            aligner, align_tok, audio, timed_segments,
+            language="eng", batch_size=8,
         )
-        aligned, scores, blank = get_alignments(
-            emissions, tokens_starred, align_tok
-        )
-        spans = get_spans(tokens_starred, aligned, blank)
-        word_ts = postprocess_results(text_starred, spans, stride, scores)
         timings["align"] = time.time() - t0
         log(f"{tag} align {timings['align']:.1f}s ({len(word_ts)} words)")
 

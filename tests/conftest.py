@@ -27,7 +27,7 @@ import pathlib
 import pytest
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
-FIXTURE_OPUS = pathlib.Path("/root/reference/tests/assets/test.opus")
+FIXTURE_OPUS = REPO_ROOT / "tests" / "assets" / "test.opus"
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+
+from whisper_nemo_tpu.align.api import AlignmentTokenizer
+from whisper_nemo_tpu.align.segmented import (
+    _bucket,
+    _prepare_item,
+    _trellis_arrays,
+    align_segments,
+)
+from whisper_nemo_tpu.ops.ctc import NEG_INF, add_star_column, forced_align
+
+
+def test_bucket():
+    assert _bucket(100, (128, 256)) == 128
+    assert _bucket(128, (128, 256)) == 128
+    assert _bucket(129, (128, 256)) == 256
+    assert _bucket(9999, (128, 256)) == 256
+
+
+def test_padded_alignment_matches_unpadded():
+    """Bucketing/padding must not change the Viterbi result on the real
+    frames: compare against direct forced_align on the exact shapes."""
+    tok = AlignmentTokenizer()
+    rng = np.random.default_rng(0)
+    V = len(tok.vocab) - 1
+    T, chars = 60, "hello"
+    em = np.full((T, V), np.log(1e-4), np.float32)
+    em[:, tok.blank_id] = np.log(0.9)
+    labels = np.array([tok.vocab[c] for c in chars], np.int32)
+    for i, c in enumerate(chars):
+        s = 10 + i * 8
+        em[s : s + 8, :] = np.log(1e-4)
+        em[s : s + 8, tok.vocab[c]] = np.log(0.9)
+    em_star = add_star_column(em, tok.blank_id)
+
+    direct, _ = forced_align(em_star, labels, tok.blank_id)
+
+    em_pad, labels_ext, _ = _prepare_item(em_star, labels, 128, 32)
+    sl, sk = _trellis_arrays(labels_ext, tok.blank_id)
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.align.segmented import _viterbi_batch
+
+    paths = np.asarray(
+        _viterbi_batch(
+            jnp.asarray(em_pad[None]), jnp.asarray(sl[None]),
+            jnp.asarray(sk[None]),
+        )
+    )[0][:T]
+    frame_labels = np.where(paths % 2 == 1, (paths - 1) // 2, -1)
+    frame_labels = np.where(frame_labels < len(labels), frame_labels, -1)
+    np.testing.assert_array_equal(frame_labels, direct)
+
+
+class _FakeModel:
+    """Emission-level fake so the test controls the acoustics exactly."""
+
+
+def test_align_segments_end_to_end(monkeypatch):
+    tok = AlignmentTokenizer()
+    V = len(tok.vocab) - 1
+    stride = 20.0  # ms
+    T = 500  # 10 s
+    em = np.full((T, V), np.log(1e-4), np.float32)
+    em[:, tok.blank_id] = np.log(0.9)
+
+    # "hi" at 1.0-1.4s, "yo" at 6.0-6.4s
+    plan = [(50, "h"), (60, "i"), (300, "y"), (310, "o")]
+    for s, c in plan:
+        em[s : s + 10, :] = np.log(1e-4)
+        em[s : s + 10, tok.vocab[c]] = np.log(0.9)
+
+    import whisper_nemo_tpu.align.segmented as seg_mod
+
+    monkeypatch.setattr(
+        seg_mod, "generate_emissions", lambda m, a, b: (em, stride)
+    )
+
+    segments = [
+        {"start": 0.8, "end": 2.0, "text": "hi"},
+        {"start": 5.5, "end": 7.0, "text": "yo"},
+    ]
+    words = align_segments(None, tok, np.zeros(160000, np.float32), segments)
+    assert [w["text"] for w in words] == ["hi", "yo"]
+    assert abs(words[0]["start"] - 1.0) < 0.15
+    assert abs(words[0]["end"] - 1.4) < 0.15
+    assert abs(words[1]["start"] - 6.0) < 0.15
+    assert abs(words[1]["end"] - 6.4) < 0.15
+    assert all(w["score"] > 0.5 for w in words)

@@ -80,6 +80,19 @@ class AlignmentModel:
     def device(self):
         return jax.devices()[0]
 
+    @property
+    def logits_fn(self):
+        """Cached jitted emission function (rebuilding the jit wrapper
+        per call would discard the compilation cache)."""
+        if not hasattr(self, "_logits_fn"):
+            dims, dtype = self.dims, self.dtype
+            self._logits_fn = jax.jit(
+                lambda p, w: jax.nn.log_softmax(
+                    ctc_logits(p, w, dims, dtype), axis=-1
+                )
+            )
+        return self._logits_fn
+
 
 def load_alignment_model(
     device: str = "auto", dtype=None
@@ -139,22 +152,24 @@ def generate_emissions(
     padded[: len(waveform)] = waveform
     chunks = padded.reshape(n_chunks, chunk)
 
-    logits_fn = jax.jit(
-        lambda p, w: jax.nn.log_softmax(
-            ctc_logits(p, w, model.dims, model.dtype), axis=-1
-        )
-    )
+    logits_fn = model.logits_fn
     pieces = []
     for i in range(0, n_chunks, batch_size):
-        batch = jnp.asarray(chunks[i : i + batch_size])
-        pieces.append(np.asarray(logits_fn(model.params, batch)))
-    emissions = np.concatenate(pieces, axis=0)  # [n_chunks, T_c, V]
+        batch = chunks[i : i + batch_size]
+        if len(batch) < batch_size:  # keep one compiled batch shape
+            batch = np.pad(
+                batch, ((0, batch_size - len(batch)), (0, 0))
+            )
+        pieces.append(np.asarray(logits_fn(model.params, jnp.asarray(batch))))
+    emissions = np.concatenate(pieces, axis=0)  # [≥n_chunks, T_c, V]
     t_per_chunk = emissions.shape[1]
-    emissions = emissions.reshape(-1, emissions.shape[-1])
+    emissions = emissions[:n_chunks].reshape(-1, emissions.shape[-1])
 
-    total_frames = int(
-        round(len(waveform) / chunk * t_per_chunk)
-    ) if len(waveform) % chunk else emissions.shape[0]
+    total_frames = (
+        int(round(len(waveform) / chunk * t_per_chunk))
+        if len(waveform) % chunk
+        else emissions.shape[0]
+    )
     emissions = emissions[: max(total_frames, 1)]
     stride_ms = len(waveform) / emissions.shape[0] / SAMPLE_RATE * 1000
     return emissions, stride_ms

@@ -137,6 +137,7 @@ class AsrResult:
     full_transcript: str
     language: str
     audio: np.ndarray
+    segments: Optional[list] = None  # timed segments (batched path)
 
 
 def run_asr(
@@ -161,12 +162,22 @@ def run_asr(
         segments, info = pipeline.transcribe(
             audio, language, suppress_tokens=suppress, batch_size=batch_size
         )
+        segments = list(segments)
+        timed = [
+            {"start": s.start, "end": s.end, "text": s.text}
+            for s in segments
+        ]
     else:
         segments, info = model.transcribe(
             audio, language, suppress_tokens=suppress, vad_filter=True
         )
+        segments = list(segments)
+        # sequential path runs on VAD-concatenated audio; its segment
+        # times don't map to the original recording, so alignment falls
+        # back to the global transcript path
+        timed = None
     text = "".join(s.text for s in segments)
-    return AsrResult(text, info.language, audio)
+    return AsrResult(text, info.language, audio, timed)
 
 
 def run_alignment(
@@ -175,20 +186,37 @@ def run_alignment(
     language: str,
     batch_size: int,
     device: str,
+    timed_segments: Optional[list] = None,
 ) -> List[dict]:
-    """Forced-alignment stage (reference diarize.py:153-184)."""
+    """Forced-alignment stage (reference diarize.py:153-184).
+
+    With timed ASR segments available, each segment aligns against its
+    own audio span (batched bucketed Viterbi — Σtᵢ·lᵢ instead of T·L);
+    otherwise the whole transcript aligns globally.
+    """
     if not full_transcript.strip():
         logging.warning("empty transcript; skipping forced alignment")
         return []
     model, tokenizer = load_alignment_model(
         device, dtype="bfloat16" if device != "cpu" else None
     )
+    iso = langs_to_iso.get(language, "eng")
+    if timed_segments:
+        from ..align.segmented import align_segments
+
+        return align_segments(
+            model,
+            tokenizer,
+            audio,
+            timed_segments,
+            language=iso,
+            batch_size=max(batch_size, 1),
+        )
     emissions, stride = generate_emissions(
         model, audio, batch_size=max(batch_size, 1)
     )
     tokens_starred, text_starred = preprocess_text(
-        full_transcript, romanize=True,
-        language=langs_to_iso.get(language, "eng"),
+        full_transcript, romanize=True, language=iso
     )
     segments, scores, blank = get_alignments(emissions, tokens_starred, tokenizer)
     spans = get_spans(tokens_starred, segments, blank)
@@ -275,7 +303,7 @@ def run_sequential(args) -> None:
     with stage_timer("alignment", logger):
         word_timestamps = run_alignment(
             asr.audio, asr.full_transcript, asr.language,
-            args.batch_size, args.device,
+            args.batch_size, args.device, timed_segments=asr.segments,
         )
     with stage_timer("diarization", logger):
         speaker_ts = run_diarization(asr.audio, temp_path, args.domain)
@@ -329,7 +357,7 @@ def run_parallel(args) -> None:
     with stage_timer("alignment", logger):
         word_timestamps = run_alignment(
             audio, asr.full_transcript, asr.language,
-            args.batch_size, args.device,
+            args.batch_size, args.device, timed_segments=asr.segments,
         )
 
     thread.join()

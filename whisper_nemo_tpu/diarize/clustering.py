@@ -58,8 +58,8 @@ def eigen_decompose(lap: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     compilation. Device-side iterative eigensolving for very large N
     lives in ``ops.eig.smallest_eigenpairs`` (LOBPCG).
     """
-    evals, evecs = np.linalg.eigh(np.asarray(lap, np.float64))
-    return evals.astype(np.float32), evecs.astype(np.float32)
+    evals, evecs = np.linalg.eigh(np.asarray(lap, np.float32))
+    return evals, evecs
 
 
 def estimate_num_speakers(
@@ -93,7 +93,7 @@ def nmesc_search(
     max_num_speakers: int = 8,
     max_rp_threshold: float = 0.25,
     sparse_search_volume: int = 30,
-    search_subsample: int = 1500,
+    search_subsample: int = 512,
 ) -> Tuple[int, int]:
     """Search the neighbor count p minimizing the NME ratio.
 

@@ -109,8 +109,16 @@ class NeuralDiarizer:
         self.msdd_params = None
         if d.msdd_model.model_path:
             msdd_ckpt = os.path.join(cache, f"{d.msdd_model.model_path}.npz")
+            n_scales = len(
+                d.speaker_embeddings.parameters.window_length_in_sec
+            )
+            self.msdd_dims = msdd_mod.MsddDims(n_scales=n_scales)
             if os.path.exists(msdd_ckpt):
                 self.msdd_params = load_params(msdd_ckpt)
+            elif self._force_large:
+                self.msdd_params = msdd_mod.init_msdd_params(
+                    jax.random.PRNGKey(3), self.msdd_dims
+                )
             else:
                 logger.warning(
                     "no MSDD checkpoint at %s; falling back to "
@@ -121,6 +129,26 @@ class NeuralDiarizer:
         self._embed_jit = jax.jit(
             lambda p, f, l: titanet.embed(p, f, l, self.titanet_dims)
         )
+
+        def _gather_embed(params, features, idx, lengths):
+            # features [T_total, n_mels] (unnormalized); idx [B, F] frame
+            # indices; lengths [B]. Per-window normalization then embed.
+            windows = features[idx]  # [B, F, n_mels]
+            t = windows.shape[1]
+            mask = (
+                jnp.arange(t)[None, :, None] < lengths[:, None, None]
+            ).astype(windows.dtype)
+            denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+            mu = (windows * mask).sum(axis=1, keepdims=True) / denom
+            var = (((windows - mu) * mask) ** 2).sum(
+                axis=1, keepdims=True
+            ) / denom
+            windows = (windows - mu) / (jnp.sqrt(var) + 1e-5) * mask
+            return titanet.embed(
+                params, windows, lengths, self.titanet_dims
+            )
+
+        self._gather_embed_jit = jax.jit(_gather_embed)
 
     def to(self, device) -> "NeuralDiarizer":
         """Device placement no-op for CLI compatibility
@@ -170,43 +198,60 @@ class NeuralDiarizer:
         duration = len(audio) / SAMPLE_RATE
         return [(max(0.0, s), min(e, duration)) for s, e in segs if e > s]
 
+    def _full_audio_features(self, audio: np.ndarray):
+        """Unnormalized log-mel features of the whole recording, computed
+        once on device and shared by every scale's windows (the audio
+        transfers to HBM exactly once)."""
+        return log_mel_features(
+            jnp.asarray(audio),
+            n_mels=self.titanet_dims.n_mels,
+            normalize=False,
+        )
+
     def _embed_segments(
-        self, audio: np.ndarray, segments: List[ScaleSegment], window: float
+        self,
+        features,  # device array [T_total, n_mels], unnormalized
+        segments: List[ScaleSegment],
+        window: float,
     ) -> np.ndarray:
-        """TitaNet embeddings for one scale's segments (batched,
-        masked to each segment's true length)."""
-        batch_size = self.cfg.batch_size
-        max_samples = int(window * SAMPLE_RATE)
-        max_frames = max_samples // HOP_LENGTH + 1
+        """TitaNet embeddings for one scale's segments.
+
+        Windows are gathered from the shared feature array on device
+        (index matrices are the only per-scale host→device traffic),
+        normalized per window, and embedded in large batches.
+        """
+        batch_size = max(self.cfg.batch_size, 256)
+        max_frames = int(window * SAMPLE_RATE) // HOP_LENGTH + 1
+        t_total = features.shape[0]
+
+        starts = np.array(
+            [int(seg.start * SAMPLE_RATE) // HOP_LENGTH for seg in segments],
+            np.int32,
+        )
+        ends = np.minimum(
+            [int(seg.end * SAMPLE_RATE) // HOP_LENGTH for seg in segments],
+            t_total,
+        )
+        lengths_np = np.maximum(ends - starts, 1).astype(np.int32)
+
+        n = len(segments)
+        n_pad = -n % batch_size
+        starts = np.pad(starts, (0, n_pad))
+        lengths_np = np.pad(lengths_np, (0, n_pad), constant_values=1)
+
+        idx = starts[:, None] + np.arange(max_frames)[None, :]
+        idx = np.minimum(idx, t_total - 1).astype(np.int32)
+
         embs = []
-        for start in range(0, len(segments), batch_size):
-            chunk = segments[start : start + batch_size]
-            waves = np.zeros((len(chunk), max_samples), np.float32)
-            lengths = np.zeros((len(chunk),), np.int32)
-            for i, seg in enumerate(chunk):
-                s = int(seg.start * SAMPLE_RATE)
-                e = min(int(seg.end * SAMPLE_RATE), len(audio))
-                piece = audio[s:e][:max_samples]
-                waves[i, : len(piece)] = piece
-                lengths[i] = max(1, len(piece) // HOP_LENGTH)
-            # pad the batch to full batch_size so every scale reuses one
-            # compiled shape
-            if len(chunk) < batch_size:
-                waves = np.pad(
-                    waves, ((0, batch_size - len(chunk)), (0, 0))
-                )
-                lengths = np.pad(lengths, (0, batch_size - len(chunk)),
-                                 constant_values=1)
-            feats = log_mel_features(
-                jnp.asarray(waves), n_mels=self.titanet_dims.n_mels
-            )[:, :max_frames]
-            out = np.asarray(
-                self._embed_jit(
-                    self.titanet_params, feats, jnp.asarray(lengths)
-                )
+        for b in range(0, len(starts), batch_size):
+            out = self._gather_embed_jit(
+                self.titanet_params,
+                features,
+                jnp.asarray(idx[b : b + batch_size]),
+                jnp.asarray(lengths_np[b : b + batch_size]),
             )
-            embs.append(out[: len(chunk)])
-        return np.concatenate(embs, axis=0)
+            embs.append(np.asarray(out))
+        return np.concatenate(embs, axis=0)[:n]
 
     def diarize_waveform(
         self,
@@ -216,8 +261,14 @@ class NeuralDiarizer:
         max_speakers: Optional[int] = None,
     ) -> List[Tuple[float, float, int]]:
         """Waveform → speaker turns [(start_s, end_s, speaker_id)]."""
+        import time as _time
+
+        debug = os.environ.get("WNT_DEBUG_TIMING")
+        marks = [("start", _time.time())]
+
         d = self.cfg.diarizer
         regions = self._speech_regions(audio)
+        marks.append(("vad", _time.time()))
         if not regions:
             return []
 
@@ -231,10 +282,12 @@ class NeuralDiarizer:
         if not base_segments:
             return []
 
+        features = self._full_audio_features(audio)
         scale_embs = [
-            self._embed_segments(audio, segs, w)
+            self._embed_segments(features, segs, w)
             for segs, w in zip(scales, emb_cfg.window_length_in_sec)
         ]
+        marks.append(("embed", _time.time()))
         mapping = map_scales_to_base(scales)
 
         # scale-weighted multiscale affinity over base segments
@@ -249,6 +302,7 @@ class NeuralDiarizer:
             affinity += weights[si] * cosine_affinity(embs)
         affinity = affinity.astype(np.float32)
 
+        marks.append(("affinity", _time.time()))
         cl = d.clustering.parameters
         oracle = num_speakers if num_speakers else (
             None if not cl.oracle_num_speakers else num_speakers
@@ -267,6 +321,14 @@ class NeuralDiarizer:
             affinity=affinity if len(scales) > 1 else None,
             min_num_speakers=min_speakers,
         )
+
+        marks.append(("cluster", _time.time()))
+        if debug:
+            deltas = {
+                marks[i][0]: round(marks[i][1] - marks[i - 1][1], 2)
+                for i in range(1, len(marks))
+            }
+            logger.info("diarize timing n=%d: %s", len(base_segments), deltas)
 
         times = [(s.start, s.end) for s in base_segments]
 

@@ -1,0 +1,61 @@
+"""Weight-only int8 quantization for inference.
+
+The TPU analogue of CTranslate2's int8 compute type (reference
+``mtypes``, diarize.py:36): linear weights are stored per-output-channel
+symmetric int8 and dequantized inside the matmul epilogue
+(``(x @ w_i8) · scale``), cutting HBM weight traffic 4× — the decode
+loop is bandwidth-bound, so step latency follows. Activations stay
+bf16/fp32; embeddings stay dense (single-row gathers are cheap).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_linear(w: np.ndarray) -> Dict[str, Any]:
+    """[in, out] float → int8 weights + per-out-channel f32 scales."""
+    w = np.asarray(w, np.float32)
+    absmax = np.abs(w).max(axis=0)
+    scale = (absmax / 127.0).astype(np.float32)
+    scale_safe = np.where(scale > 0, scale, 1.0)
+    q = np.clip(np.round(w / scale_safe), -127, 127).astype(np.int8)
+    return {"w_q": jnp.asarray(q), "scale": jnp.asarray(scale_safe)}
+
+
+def _quantize_linear_dict(p: Dict[str, Any]) -> Dict[str, Any]:
+    out = quantize_linear(np.asarray(p["w"]))
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def _quantize_block(block: Dict[str, Any]) -> Dict[str, Any]:
+    out = dict(block)
+    for attn_key in ("attn", "cross_attn"):
+        if attn_key in block:
+            out[attn_key] = {
+                k: _quantize_linear_dict(v)
+                for k, v in block[attn_key].items()
+            }
+    for mlp_key in ("mlp_in", "mlp_out"):
+        if mlp_key in block:
+            out[mlp_key] = _quantize_linear_dict(block[mlp_key])
+    return out
+
+
+def quantize_whisper_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """int8-quantize every transformer linear plus the vocabulary output
+    projection (stored separately; the token-embedding gather stays
+    dense)."""
+    enc = dict(params["encoder"])
+    enc["blocks"] = [_quantize_block(b) for b in params["encoder"]["blocks"]]
+    dec = dict(params["decoder"])
+    dec["blocks"] = [_quantize_block(b) for b in params["decoder"]["blocks"]]
+    # output projection: tok_emb.T as int8 [D, V]
+    tok = np.asarray(params["decoder"]["tok_emb"], np.float32)
+    dec["out_proj_q"] = quantize_linear(tok.T)
+    return {"encoder": enc, "decoder": dec}

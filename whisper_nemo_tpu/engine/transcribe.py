@@ -103,6 +103,10 @@ class WhisperEngine:
     ):
         if params is None or dims is None:
             params, dims = resolve_model(model_name)
+        if compute_type == "int8":
+            from .quantize import quantize_whisper_params
+
+            params = quantize_whisper_params(params)
         self.params = params
         self.dims = dims
         self.model_name = model_name

@@ -175,7 +175,15 @@ def _layer_norm(p, x, eps=1e-5):
 
 
 def _linear(p, x):
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "w_q" in p:
+        # weight-only int8: dequantization fuses into the matmul epilogue
+        y = jnp.dot(
+            x, p["w_q"].astype(x.dtype), preferred_element_type=jnp.float32
+        ) * p["scale"]
+    else:
+        y = jnp.dot(
+            x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32
+        )
     if "b" in p:
         y = y + p["b"]
     return y.astype(x.dtype)
@@ -214,6 +222,24 @@ def _self_attn(p, x, n_head, mask=None):
 
 def _mlp(p_in, p_out, x):
     return _linear(p_out, jax.nn.gelu(_linear(p_in, x), approximate=False))
+
+
+def _vocab_logits(dec, x):
+    """Hidden states → fp32 vocab logits; uses the int8 output
+    projection when present (engine/quantize.py), else tied embeddings."""
+    if "out_proj_q" in dec:
+        q = dec["out_proj_q"]
+        return (
+            jnp.dot(
+                x, q["w_q"].astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            * q["scale"]
+        ).astype(jnp.float32)
+    return jnp.dot(
+        x, dec["tok_emb"].T.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -300,9 +326,7 @@ def decoder_forward(
         x = x + _linear(blk["cross_attn"]["o"], attn_out)
         x = x + _mlp(blk["mlp_in"], blk["mlp_out"], _layer_norm(blk["ln2"], x))
     x = _layer_norm(dec["ln"], x)
-    return jnp.dot(
-        x, dec["tok_emb"].T.astype(x.dtype), preferred_element_type=jnp.float32
-    )
+    return _vocab_logits(dec, x)
 
 
 # -- incremental decoding with a static-shape KV cache ----------------------
@@ -373,11 +397,7 @@ def decode_step(
         x = x + _mlp(blk["mlp_in"], blk["mlp_out"], _layer_norm(blk["ln2"], x))
 
     x = _layer_norm(dec["ln"], x)
-    logits = jnp.dot(
-        x[:, 0, :],
-        dec["tok_emb"].T.astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    logits = _vocab_logits(dec, x[:, 0, :])
     return logits.astype(jnp.float32), new_cache
 
 
