@@ -41,11 +41,12 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _viterbi_batch(emissions, state_labels, allow_skip):
-    alphas, bps = jax.vmap(_viterbi_forward)(
-        emissions, state_labels, allow_skip
-    )
+    from ..ops.ctc import _gather_state_emissions, _viterbi_forward_states
+
+    e_states = jax.vmap(_gather_state_emissions)(emissions, state_labels)
+    alphas, bps = jax.vmap(_viterbi_forward_states)(e_states, allow_skip)
     paths = jax.vmap(_viterbi_backtrack)(alphas, bps)
     return paths
 

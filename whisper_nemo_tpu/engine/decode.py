@@ -146,12 +146,17 @@ def greedy_decode(
     n_prompt: int,
     rng: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
+    prompt_valid: Optional[jnp.ndarray] = None,  # [B, n_prompt] bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched decode. Returns (tokens [B, L], lengths [B],
     sum_logprob [B], no_speech_prob [B]).
 
     ``tokens`` contains the prompt followed by generated tokens; length
     counts only generated tokens up to (and excluding) EOT.
+    ``prompt_valid`` marks real prompt positions when the prompt is
+    left-padded to a fixed size (conditioning on previous text keeps
+    one compiled shape that way); padded positions are masked out of
+    attention.
     """
     b = audio_features.shape[0]
     max_len = n_prompt + opts.max_new_tokens
@@ -161,6 +166,22 @@ def greedy_decode(
 
     tokens = jnp.zeros((b, max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
+
+    if prompt_valid is None:
+        kv_valid = None
+        pos_offset = None
+    else:
+        kv_valid = jnp.concatenate(
+            [
+                prompt_valid.astype(bool),
+                jnp.ones((b, dims.n_text_ctx - n_prompt), bool),
+            ],
+            axis=1,
+        )
+        # left-pad count per row shifts the learned-position lookup
+        pos_offset = jnp.sum(
+            ~prompt_valid.astype(bool), axis=1
+        ).astype(jnp.int32)
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -177,7 +198,8 @@ def greedy_decode(
         (pos, tokens, cache, finished, sum_logprob, length, no_speech, rng) = state
         cur = tokens[jnp.arange(b), pos - 1]
         logits, cache = decode_step(
-            params, cur, pos - 1, cache, cross_kv, dims, dtype
+            params, cur, pos - 1, cache, cross_kv, dims, dtype,
+            kv_valid=kv_valid, pos_offset=pos_offset,
         )  # logits for position pos
 
         # no-speech prob: measured at the step that consumed SOT

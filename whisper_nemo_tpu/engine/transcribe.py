@@ -187,6 +187,8 @@ class WhisperEngine:
         i = int(np.asarray(idx)[0])
         return codes[i], float(np.asarray(probs)[0, i])
 
+    PREV_BLOCK = 65  # fixed slots for <|startofprev|> + conditioning tail
+
     def _decode_batch(
         self,
         feats: jnp.ndarray,
@@ -196,9 +198,10 @@ class WhisperEngine:
         temperature: float,
         rng_seed: int = 0,
         min_new_tokens: int = 0,
+        previous_tokens: Optional[Sequence[int]] = None,
     ):
         b = feats.shape[0]
-        prompt = self.tokenizer.sot_sequence(
+        sot_seq = self.tokenizer.sot_sequence(
             language if self.multilingual else None,
             "transcribe",
             without_timestamps=without_timestamps,
@@ -208,7 +211,37 @@ class WhisperEngine:
             temperature=float(temperature),
             min_new_tokens=min_new_tokens,
         )
-        prompt_arr = jnp.tile(jnp.asarray(prompt, jnp.int32)[None], (b, 1))
+        if previous_tokens is None:
+            prompt_arr = jnp.tile(
+                jnp.asarray(sot_seq, jnp.int32)[None], (b, 1)
+            )
+            n_prompt = len(sot_seq)
+            prompt_valid = None
+        else:
+            # fixed-size left-padded conditioning block keeps one
+            # compiled decode shape across windows; padded slots are
+            # attention-masked and position-shifted out
+            pb = self.PREV_BLOCK
+            block = np.full((b, pb), self.tokenizer.eot, np.int32)
+            valid = np.zeros((b, pb), bool)
+            tail = list(previous_tokens)[-(pb - 1):]
+            if tail:
+                block[:, pb - len(tail) - 1] = (
+                    self.tokenizer.layout.startofprev
+                )
+                block[:, pb - len(tail):] = tail
+                valid[:, pb - len(tail) - 1:] = True
+            prompt_np = np.concatenate(
+                [block, np.tile(np.asarray(sot_seq, np.int32), (b, 1))],
+                axis=1,
+            )
+            prompt_arr = jnp.asarray(prompt_np)
+            n_prompt = pb + len(sot_seq)
+            prompt_valid = jnp.asarray(
+                np.concatenate(
+                    [valid, np.ones((b, len(sot_seq)), bool)], axis=1
+                )
+            )
         tokens, length, sum_logprob, no_speech = greedy_decode(
             self.params,
             feats,
@@ -216,16 +249,17 @@ class WhisperEngine:
             jnp.asarray(suppress_mask),
             self.dims,
             opts,
-            n_prompt=len(prompt),
+            n_prompt=n_prompt,
             rng=jax.random.PRNGKey(rng_seed),
             dtype=self.dtype,
+            prompt_valid=prompt_valid,
         )
         return (
             np.asarray(tokens),
             np.asarray(length),
             np.asarray(sum_logprob),
             np.asarray(no_speech),
-            len(prompt),
+            n_prompt,
         )
 
     # -- batched long-form -------------------------------------------------
@@ -263,6 +297,11 @@ class WhisperEngine:
             self.dims.n_vocab, [t for t in suppress_tokens if t >= 0]
         )
 
+        import time as _time
+
+        debug = os.environ.get("WNT_DEBUG_TIMING")
+        t_mel = t_enc = t_dec = 0.0
+
         segments: List[Segment] = []
         for batch_start in range(0, len(windows), batch_size):
             batch = windows[batch_start : batch_start + batch_size]
@@ -273,14 +312,23 @@ class WhisperEngine:
             for i, (s, e) in enumerate(batch):
                 chunk = audio[s:e][:N_SAMPLES]
                 waves[i, : len(chunk)] = chunk
+            t0 = _time.time()
             mels = log_mel_spectrogram_batch(
                 jnp.asarray(waves), self.dims.n_mels
             )
+            mels.block_until_ready()
+            t1 = _time.time()
             feats = self.encode_windows(mels)
+            feats.block_until_ready()
+            t2 = _time.time()
             tokens, lengths, sum_lp, no_speech, n_prompt = self._decode_batch(
                 feats, language, suppress_mask, without_timestamps, 0.0,
                 min_new_tokens=min_new_tokens,
             )
+            t3 = _time.time()
+            t_mel += t1 - t0
+            t_enc += t2 - t1
+            t_dec += t3 - t2
             for i, (s, e) in enumerate(batch):
                 toks = tokens[i, n_prompt : n_prompt + lengths[i]].tolist()
                 text = self.tokenizer.decode(toks)
@@ -298,6 +346,11 @@ class WhisperEngine:
                         no_speech_prob=float(no_speech[i]),
                     )
                 )
+        if debug:
+            logger.info(
+                "asr timing: windows=%d mel=%.2fs encode=%.2fs decode=%.2fs",
+                len(windows), t_mel, t_enc, t_dec,
+            )
         info = TranscriptionInfo(
             language=language,
             language_probability=lang_prob,
@@ -343,6 +396,8 @@ class WhisperEngine:
         seek = 0
         segments: List[Segment] = []
         ts_begin = self.tokenizer.timestamp_begin
+        all_tokens: List[int] = []  # conditioning history
+        prompt_reset_since = 0
 
         while seek < content_frames:
             time_offset = seek * TIME_PER_FRAME
@@ -350,6 +405,12 @@ class WhisperEngine:
             window_frames = min(FRAMES_PER_WINDOW, content_frames - seek)
             mel = self.mel_window(chunk)[None]
             feats = self.encode_windows(mel)
+
+            previous = (
+                all_tokens[prompt_reset_since:]
+                if condition_on_previous_text
+                else None
+            )
 
             result = None
             for ti, temp in enumerate(temperatures):
@@ -361,6 +422,7 @@ class WhisperEngine:
                         without_timestamps,
                         temp,
                         rng_seed=seek + ti,
+                        previous_tokens=previous,
                     )
                 )
                 toks = tokens[0, n_prompt : n_prompt + lengths[0]].tolist()
@@ -411,9 +473,11 @@ class WhisperEngine:
                         no_speech_prob=no_speech_p,
                     )
                 )
+            all_tokens.extend(toks)
             seek += frames_consumed
-            if temp > 0.5 or not condition_on_previous_text:
-                pass  # prompt conditioning resets (prompt support: future)
+            if temp > 0.5:
+                # high-temperature fallback output is unreliable context
+                prompt_reset_since = len(all_tokens)
 
         info = TranscriptionInfo(
             language=language,

@@ -195,20 +195,13 @@ def _split_heads(x, n_head):
 
 
 def _attention(q, k, v, mask=None):
-    """[B, Tq, H, Dh] x [B, Tk, H, Dh] -> [B, Tq, H, Dh] (fp32 softmax)."""
-    scale = q.shape[-1] ** -0.25
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk",
-        q * scale,
-        k * scale,
-        preferred_element_type=jnp.float32,
-    )
-    if mask is not None:
-        logits = logits + mask
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
-        q.dtype
-    )
-    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    """[B, Tq, H, Dh] x [B, Tk, H, Dh] -> [B, Tq, H, Dh].
+
+    Routed through ops.attention: Pallas flash kernel on TPU for the
+    unmasked encoder case, fp32-softmax einsum elsewhere."""
+    from ..ops.attention import multihead_attention
+
+    return multihead_attention(q, k, v, mask)
 
 
 def _self_attn(p, x, n_head, mask=None):
@@ -356,21 +349,39 @@ def decode_step(
     cross_kv: list,
     dims: WhisperDims,
     dtype=jnp.float32,
+    kv_valid: Optional[jnp.ndarray] = None,  # [B, n_text_ctx] bool
+    pos_offset: Optional[jnp.ndarray] = None,  # [B] int32
 ) -> Tuple[jnp.ndarray, list]:
     """One decode step: returns fp32 logits [B, V] and the updated cache.
 
     The cache sequence axis is static (n_text_ctx); the attention mask
-    hides positions > ``pos``. Designed to be the body of lax.scan /
-    while_loop decode loops.
+    hides positions > ``pos`` and, when ``kv_valid`` is given, positions
+    marked invalid (used for left-padded fixed-size prompts).
+    ``pos_offset`` shifts the *learned position* lookup per batch row so
+    left-padding doesn't displace real tokens' positions (cache indices
+    stay physical; attention itself is position-agnostic). Designed to
+    be the body of lax.scan / while_loop decode loops.
     """
     dec = params["decoder"]
     b = token.shape[0]
-    x = (dec["tok_emb"][token] + dec["pos_emb"][pos]).astype(dtype)[:, None, :]
+    if pos_offset is None:
+        pos_emb = dec["pos_emb"][pos]
+    else:
+        logical = jnp.maximum(pos - pos_offset, 0)  # [B]
+        pos_emb = dec["pos_emb"][logical]
+    x = (dec["tok_emb"][token] + pos_emb).astype(dtype)[:, None, :]
 
     positions = jnp.arange(dims.n_text_ctx)
-    mask = jnp.where(positions <= pos, 0.0, -jnp.inf).astype(jnp.float32)[
-        None, None, None, :
-    ]  # [1,1,1,T]
+    visible = positions <= pos
+    if kv_valid is not None:
+        visible = visible[None, :] & kv_valid
+        mask = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[
+            :, None, None, :
+        ]  # [B,1,1,T]
+    else:
+        mask = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[
+            None, None, None, :
+        ]  # [1,1,1,T]
 
     new_cache = []
     for blk, kv, ckv in zip(dec["blocks"], cache, cross_kv):

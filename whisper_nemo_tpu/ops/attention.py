@@ -1,0 +1,101 @@
+"""Multi-head attention with a Pallas flash-attention fast path.
+
+The encoder's self-attention over 1500 mel frames is the one attention
+in the pipeline with a real sequence length (decode is one query token
+per step). On TPU it routes to the official Pallas flash-attention
+kernel (online softmax, no [T, T] scores materialization); elsewhere an
+einsum path keeps numerics/tests portable. Whisper's T=1500 isn't a
+multiple of the 128-lane block size, so K/V/Q pad to the next multiple
+and segment ids mask the padding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_IMPL = "auto"
+
+
+def set_attention_impl(impl: str) -> None:
+    """Global attention implementation: "auto" | "xla" | "flash"."""
+    global _IMPL
+    if impl not in ("auto", "xla", "flash"):
+        raise ValueError(f"unknown attention impl {impl!r}")
+    _IMPL = impl
+
+
+def _resolve_impl() -> str:
+    if _IMPL != "auto":
+        return _IMPL
+    return (
+        "flash"
+        if jax.devices()[0].platform in ("tpu", "axon")
+        else "xla"
+    )
+
+
+def _xla_attention(q, k, v, mask=None):
+    """[B, Tq, H, D] × [B, Tk, H, D] → [B, Tq, H, D], fp32 softmax."""
+    scale = q.shape[-1] ** -0.25
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk",
+        q * scale,
+        k * scale,
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+        q.dtype
+    )
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+def _flash_attention(q, k, v):
+    """Unmasked self-attention via the Pallas TPU kernel (pads the
+    sequence to a 512 multiple; pad keys are masked by segment ids)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, t, h, d = q.shape
+    block = 512
+    t_pad = -t % block
+    sm_scale = float(d) ** -0.5
+
+    def to_bhsd(x):
+        x = jnp.pad(x, ((0, 0), (0, t_pad), (0, 0), (0, 0)))
+        return x.swapaxes(1, 2)  # [B, H, T', D]
+
+    qp, kp, vp = to_bhsd(q), to_bhsd(k), to_bhsd(v)
+    # segment 1 = real tokens, 0 = padding; cross-segment pairs masked
+    seg = jnp.pad(
+        jnp.ones((b, t), jnp.int32), ((0, 0), (0, t_pad))
+    )
+    out = flash_attention(
+        qp,
+        kp,
+        vp,
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        causal=False,
+        sm_scale=sm_scale,
+    )
+    return out.swapaxes(1, 2)[:, :t]
+
+
+def multihead_attention(q, k, v, mask=None, impl: Optional[str] = None):
+    """Dispatch between the XLA einsum path and the Pallas kernel.
+
+    ``mask`` forces the XLA path (the flash kernel covers the unmasked
+    encoder case; decode-time masking stays in XLA where query length
+    is 1 and flash has nothing to win).
+    """
+    impl = impl or _resolve_impl()
+    if impl == "flash" and mask is None and q.shape[1] > 1:
+        return _flash_attention(q, k, v)
+    return _xla_attention(q, k, v, mask)

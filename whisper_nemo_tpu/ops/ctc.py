@@ -24,34 +24,47 @@ import numpy as np
 NEG_INF = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _viterbi_forward(
-    emissions: jnp.ndarray,  # [T, V] log-probs (star column appended)
-    state_labels: jnp.ndarray,  # [L] emission index per trellis state
+@jax.jit
+def _viterbi_forward_states(
+    state_emissions: jnp.ndarray,  # [T, L] log-probs gathered per state
     allow_skip: jnp.ndarray,  # [L] bool: skip transition into state
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (final alpha [L], backpointers [T-1, L] int8)."""
-    L = state_labels.shape[0]
+    """Trellis sweep over pre-gathered state emissions.
 
-    e0 = emissions[0][state_labels]
-    alpha0 = jnp.full((L,), NEG_INF).at[0].set(e0[0])
+    Gathering emissions into state space happens once, in parallel,
+    BEFORE the scan: a per-step gather inside the while-loop measured
+    ~1000× slower on TPU than the vectorized pre-gather.
+    Returns (final alpha [L], backpointers [T-1, L] int8).
+    """
+    L = allow_skip.shape[0]
     alpha0 = jnp.where(
-        jnp.arange(L) == 1, emissions[0][state_labels[1]], alpha0
+        jnp.arange(L) < 2, state_emissions[0], NEG_INF
     )
 
-    def step(alpha, e_t):
-        e = e_t[state_labels]
+    def step(alpha, e_row):
         stay = alpha
         prev = jnp.concatenate([jnp.full((1,), NEG_INF), alpha[:-1]])
         skip = jnp.concatenate([jnp.full((2,), NEG_INF), alpha[:-2]])
         skip = jnp.where(allow_skip, skip, NEG_INF)
         choices = jnp.stack([stay, prev, skip])  # [3, L]
         bp = jnp.argmax(choices, axis=0).astype(jnp.int8)
-        new_alpha = e + jnp.max(choices, axis=0)
+        new_alpha = e_row + jnp.max(choices, axis=0)
         return new_alpha, bp
 
-    alpha_final, bps = jax.lax.scan(step, alpha0, emissions[1:])
+    alpha_final, bps = jax.lax.scan(step, alpha0, state_emissions[1:])
     return alpha_final, bps
+
+
+@jax.jit
+def _gather_state_emissions(emissions, state_labels):
+    """[T, V], [L] → [T, L] (one parallel gather)."""
+    return emissions[:, state_labels]
+
+
+def _viterbi_forward(emissions, state_labels, allow_skip):
+    """Compatibility wrapper: gather once, then sweep."""
+    e_states = _gather_state_emissions(emissions, state_labels)
+    return _viterbi_forward_states(e_states, allow_skip)
 
 
 @jax.jit

@@ -34,9 +34,14 @@ def frame_energy_probs(
     if len(audio) < win:
         return np.zeros(0, np.float32)
     n_frames = 1 + (len(audio) - win) // hop
-    idx = np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = audio[idx]
-    rms = np.sqrt(np.mean(frames**2, axis=1) + 1e-12)
+    # windowed mean energy via cumulative sums: O(N) instead of
+    # materializing an [n_frames, win] frame matrix
+    csum = np.concatenate(
+        [[0.0], np.cumsum(np.asarray(audio, np.float64) ** 2)]
+    )
+    starts = hop * np.arange(n_frames)
+    window_energy = (csum[starts + win] - csum[starts]) / win
+    rms = np.sqrt(window_energy + 1e-12)
     log_e = 20 * np.log10(rms + 1e-12)
     lo, hi = np.percentile(log_e, 10), np.percentile(log_e, 95)
     if hi - lo < 6.0:  # nearly-constant energy: either all speech or all silence
