@@ -62,7 +62,11 @@ def test_empty_conditioning_equals_unconditioned(engine):
     # argmax, so equality is asserted on a long prefix (any masking or
     # position-offset bug diverges at step 0, not step ~100)
     assert gen0[:50] == gen1[:50]
-    assert s0[0] == pytest.approx(s1[0], rel=5e-2)
+    # per-token average logprob comparable (generation budgets differ:
+    # the conditioning block consumes context)
+    avg0 = s0[0] / (l0[0] + 1)
+    avg1 = s1[0] / (l1[0] + 1)
+    assert avg0 == pytest.approx(avg1, rel=0.1)
 
 
 def test_conditioning_changes_output(engine):

@@ -162,7 +162,10 @@ def greedy_decode(
     max_len = n_prompt + opts.max_new_tokens
     audio = audio_features.astype(dtype)
     cross_kv = cross_attention_kv(params, audio, dims)
-    cache = init_kv_cache(b, dims, dtype)
+    # right-size the cache to the decode budget (rounded to the lane
+    # tile): per-step attention cost scales with cache length
+    cache_len = min(dims.n_text_ctx, -(-max_len // 128) * 128)
+    cache = init_kv_cache(b, dims, dtype, cache_len=cache_len)
 
     tokens = jnp.zeros((b, max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
@@ -174,7 +177,7 @@ def greedy_decode(
         kv_valid = jnp.concatenate(
             [
                 prompt_valid.astype(bool),
-                jnp.ones((b, dims.n_text_ctx - n_prompt), bool),
+                jnp.ones((b, cache_len - n_prompt), bool),
             ],
             axis=1,
         )

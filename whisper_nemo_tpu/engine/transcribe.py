@@ -199,6 +199,7 @@ class WhisperEngine:
         rng_seed: int = 0,
         min_new_tokens: int = 0,
         previous_tokens: Optional[Sequence[int]] = None,
+        sync: bool = True,
     ):
         b = feats.shape[0]
         sot_seq = self.tokenizer.sot_sequence(
@@ -206,22 +207,30 @@ class WhisperEngine:
             "transcribe",
             without_timestamps=without_timestamps,
         )
+        # conditioning block must leave room for the prompt and a
+        # meaningful generation budget within n_text_ctx
+        pb = min(
+            self.PREV_BLOCK,
+            max(0, self.dims.n_text_ctx - len(sot_seq) - 64),
+        )
+        if previous_tokens is not None and pb == 0:
+            previous_tokens = None
+        n_prompt = len(sot_seq) + (pb if previous_tokens is not None else 0)
         opts = self._make_opts(
             without_timestamps=without_timestamps,
             temperature=float(temperature),
             min_new_tokens=min_new_tokens,
+            max_new_tokens=min(224, self.dims.n_text_ctx - n_prompt),
         )
         if previous_tokens is None:
             prompt_arr = jnp.tile(
                 jnp.asarray(sot_seq, jnp.int32)[None], (b, 1)
             )
-            n_prompt = len(sot_seq)
             prompt_valid = None
         else:
             # fixed-size left-padded conditioning block keeps one
             # compiled decode shape across windows; padded slots are
             # attention-masked and position-shifted out
-            pb = self.PREV_BLOCK
             block = np.full((b, pb), self.tokenizer.eot, np.int32)
             valid = np.zeros((b, pb), bool)
             tail = list(previous_tokens)[-(pb - 1):]
@@ -236,7 +245,6 @@ class WhisperEngine:
                 axis=1,
             )
             prompt_arr = jnp.asarray(prompt_np)
-            n_prompt = pb + len(sot_seq)
             prompt_valid = jnp.asarray(
                 np.concatenate(
                     [valid, np.ones((b, len(sot_seq)), bool)], axis=1
@@ -254,6 +262,10 @@ class WhisperEngine:
             dtype=self.dtype,
             prompt_valid=prompt_valid,
         )
+        if not sync:
+            # leave results on device: lets the caller dispatch the next
+            # batch's transfer/compute before synchronizing
+            return tokens, length, sum_logprob, no_speech, n_prompt
         return (
             np.asarray(tokens),
             np.asarray(length),
@@ -300,35 +312,36 @@ class WhisperEngine:
         import time as _time
 
         debug = os.environ.get("WNT_DEBUG_TIMING")
-        t_mel = t_enc = t_dec = 0.0
+        t0 = _time.time()
 
-        segments: List[Segment] = []
+        # dispatch every batch asynchronously (JAX queues the transfers
+        # and computations; batch i+1's H2D overlaps batch i's decode),
+        # then synchronize once at the end
+        pending = []
         for batch_start in range(0, len(windows), batch_size):
             batch = windows[batch_start : batch_start + batch_size]
-            # assemble the window batch on the host: one transfer + one
-            # batched mel/encode invocation per batch; the final partial
-            # batch is zero-padded to keep a single compiled shape
+            # the final partial batch is zero-padded to keep one
+            # compiled shape per batch size
             waves = np.zeros((batch_size, N_SAMPLES), np.float32)
             for i, (s, e) in enumerate(batch):
                 chunk = audio[s:e][:N_SAMPLES]
                 waves[i, : len(chunk)] = chunk
-            t0 = _time.time()
             mels = log_mel_spectrogram_batch(
                 jnp.asarray(waves), self.dims.n_mels
             )
-            mels.block_until_ready()
-            t1 = _time.time()
             feats = self.encode_windows(mels)
-            feats.block_until_ready()
-            t2 = _time.time()
-            tokens, lengths, sum_lp, no_speech, n_prompt = self._decode_batch(
+            out = self._decode_batch(
                 feats, language, suppress_mask, without_timestamps, 0.0,
-                min_new_tokens=min_new_tokens,
+                min_new_tokens=min_new_tokens, sync=False,
             )
-            t3 = _time.time()
-            t_mel += t1 - t0
-            t_enc += t2 - t1
-            t_dec += t3 - t2
+            pending.append((batch, out))
+
+        segments: List[Segment] = []
+        for batch, (tokens_d, lengths_d, sum_lp_d, no_speech_d, n_prompt) in pending:
+            tokens = np.asarray(tokens_d)
+            lengths = np.asarray(lengths_d)
+            sum_lp = np.asarray(sum_lp_d)
+            no_speech = np.asarray(no_speech_d)
             for i, (s, e) in enumerate(batch):
                 toks = tokens[i, n_prompt : n_prompt + lengths[i]].tolist()
                 text = self.tokenizer.decode(toks)
@@ -348,8 +361,8 @@ class WhisperEngine:
                 )
         if debug:
             logger.info(
-                "asr timing: windows=%d mel=%.2fs encode=%.2fs decode=%.2fs",
-                len(windows), t_mel, t_enc, t_dec,
+                "asr timing: windows=%d device+collect=%.2fs",
+                len(windows), _time.time() - t0,
             )
         info = TranscriptionInfo(
             language=language,

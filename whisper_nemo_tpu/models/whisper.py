@@ -326,16 +326,22 @@ def decoder_forward(
 
 
 def init_kv_cache(
-    batch: int, dims: WhisperDims, dtype=jnp.float32
+    batch: int, dims: WhisperDims, dtype=jnp.float32,
+    cache_len: Optional[int] = None,
 ) -> list:
     """Preallocated self-attention cache: per layer K/V of
-    [B, n_text_ctx, H, Dh] (static shapes for jit)."""
+    [B, cache_len, H, Dh] (static shapes for jit).
+
+    ``cache_len`` defaults to the full text context; decode loops that
+    know their prompt+generation budget pass a tighter length — per-step
+    attention cost scales with it."""
     h = dims.n_text_head
     hd = dims.n_text_state // h
+    t = cache_len or dims.n_text_ctx
     return [
         {
-            "k": jnp.zeros((batch, dims.n_text_ctx, h, hd), dtype),
-            "v": jnp.zeros((batch, dims.n_text_ctx, h, hd), dtype),
+            "k": jnp.zeros((batch, t, h, hd), dtype),
+            "v": jnp.zeros((batch, t, h, hd), dtype),
         }
         for _ in range(dims.n_text_layer)
     ]
@@ -364,6 +370,7 @@ def decode_step(
     """
     dec = params["decoder"]
     b = token.shape[0]
+    cache_len = cache[0]["k"].shape[1]
     if pos_offset is None:
         pos_emb = dec["pos_emb"][pos]
     else:
@@ -371,7 +378,7 @@ def decode_step(
         pos_emb = dec["pos_emb"][logical]
     x = (dec["tok_emb"][token] + pos_emb).astype(dtype)[:, None, :]
 
-    positions = jnp.arange(dims.n_text_ctx)
+    positions = jnp.arange(cache_len)
     visible = positions <= pos
     if kv_valid is not None:
         visible = visible[None, :] & kv_valid
