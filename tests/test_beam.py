@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_nemo_tpu.engine.decode import (
+    DecodeOptions,
+    beam_decode,
+    build_suppress_mask,
+    greedy_decode,
+)
+from whisper_nemo_tpu.models.whisper import WhisperDims, init_whisper_params, encode
+from whisper_nemo_tpu.text.tokenizer import WhisperTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dims = WhisperDims(
+        n_audio_ctx=32,
+        n_audio_layer=1,
+        n_text_layer=1,
+        n_audio_state=64,
+        n_text_state=64,
+        n_audio_head=4,
+        n_text_head=4,
+        n_vocab=51865,
+        n_text_ctx=64,
+    )
+    params = init_whisper_params(jax.random.PRNGKey(0), dims)
+    tok = WhisperTokenizer.byte_fallback()
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 64)), jnp.float32)
+    feats = encode(params, mel, dims)
+    prompt = jnp.asarray([tok.sot_sequence("en")] * 2, jnp.int32)
+    opts = DecodeOptions(
+        max_new_tokens=16,
+        eot=tok.eot,
+        sot=tok.sot,
+        no_speech=tok.no_speech,
+        no_timestamps=tok.no_timestamps,
+        timestamp_begin=tok.timestamp_begin,
+    )
+    mask = jnp.asarray(build_suppress_mask(dims.n_vocab, []))
+    return params, dims, feats, prompt, opts, mask
+
+
+def test_beam1_matches_greedy(setup):
+    params, dims, feats, prompt, opts, mask = setup
+    gt, gl, gs, gn = greedy_decode(
+        params, feats, prompt, mask, dims, opts, n_prompt=4
+    )
+    bt, bl, bs, bn = beam_decode(
+        params, feats, prompt, mask, dims, opts, n_prompt=4, beam_size=1
+    )
+    np.testing.assert_array_equal(np.asarray(gl), np.asarray(bl))
+    np.testing.assert_array_equal(np.asarray(gt), np.asarray(bt))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(bs), atol=1e-2)
+
+
+def test_beam_score_not_worse_than_greedy(setup):
+    """The best beam hypothesis must score at least as well as greedy
+    (same scoring function; beams search a superset)."""
+    params, dims, feats, prompt, opts, mask = setup
+    _, gl, gs, _ = greedy_decode(
+        params, feats, prompt, mask, dims, opts, n_prompt=4
+    )
+    _, bl, bs, _ = beam_decode(
+        params, feats, prompt, mask, dims, opts, n_prompt=4, beam_size=4
+    )
+    # compare length-normalized scores
+    g = np.asarray(gs) / (np.asarray(gl) + 1)
+    b = np.asarray(bs) / (np.asarray(bl) + 1)
+    assert (b >= g - 1e-3).all()
+
+
+def test_beam_tokens_shape_and_eot(setup):
+    params, dims, feats, prompt, opts, mask = setup
+    bt, bl, bs, bn = beam_decode(
+        params, feats, prompt, mask, dims, opts, n_prompt=4, beam_size=3
+    )
+    bt = np.asarray(bt)
+    assert bt.shape == (2, 4 + opts.max_new_tokens)
+    # prompt preserved in output
+    np.testing.assert_array_equal(bt[:, :4], np.asarray(prompt))
+    assert (np.asarray(bn) >= 0).all() and (np.asarray(bn) <= 1).all()

@@ -49,6 +49,7 @@ class WhisperModel:
         audio: np.ndarray,
         language: Optional[str] = None,
         task: str = "transcribe",
+        beam_size: int = 5,
         suppress_tokens: Sequence[int] = (-1,),
         vad_filter: bool = False,
         without_timestamps: bool = False,
@@ -72,6 +73,7 @@ class WhisperModel:
             no_speech_threshold=no_speech_threshold,
             condition_on_previous_text=condition_on_previous_text,
             without_timestamps=without_timestamps,
+            beam_size=beam_size,
         )
         return iter(segments), info
 
@@ -87,6 +89,7 @@ class BatchedInferencePipeline:
         audio: np.ndarray,
         language: Optional[str] = None,
         task: str = "transcribe",
+        beam_size: int = 5,
         suppress_tokens: Sequence[int] = (-1,),
         batch_size: int = 8,
         without_timestamps: bool = True,
@@ -98,5 +101,6 @@ class BatchedInferencePipeline:
             suppress_tokens=tuple(suppress_tokens),
             batch_size=batch_size,
             without_timestamps=without_timestamps,
+            beam_size=beam_size,
         )
         return iter(segments), info

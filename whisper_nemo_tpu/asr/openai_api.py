@@ -35,6 +35,7 @@ class OpenAIWhisperModel:
         audio: Union[str, np.ndarray],
         language: Optional[str] = None,
         task: str = "transcribe",
+        beam_size: Optional[int] = None,
         fp16: bool = True,
         condition_on_previous_text: bool = True,
         no_speech_threshold: float = 0.6,
@@ -58,6 +59,7 @@ class OpenAIWhisperModel:
             logprob_threshold=logprob_threshold,
             no_speech_threshold=no_speech_threshold,
             condition_on_previous_text=condition_on_previous_text,
+            beam_size=beam_size or 1,
         )
         seg_dicts = [
             {

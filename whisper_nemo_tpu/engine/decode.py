@@ -281,6 +281,172 @@ def greedy_decode(
     return tokens, length, sum_logprob, no_speech
 
 
+@functools.partial(
+    jax.jit, static_argnames=("dims", "opts", "n_prompt", "beam_size", "dtype")
+)
+def beam_decode(
+    params,
+    audio_features: jnp.ndarray,  # [B, n_audio_ctx, D]
+    prompt: jnp.ndarray,  # [B, n_prompt] int32
+    suppress_mask: jnp.ndarray,  # [V] additive fp32
+    dims: WhisperDims,
+    opts: DecodeOptions,
+    n_prompt: int,
+    beam_size: int = 5,
+    length_penalty: float = 1.0,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched beam search (the faster-whisper/CT2 default decode mode,
+    beam_size=5). Returns (tokens [B, L], lengths [B], sum_logprob [B],
+    no_speech_prob [B]) for the best hypothesis per batch row.
+
+    Beams live as an extra leading factor in the batch axis (B·K); the
+    KV cache is gathered along that axis on every reindex. Finished
+    beams hold their score and keep emitting EOT. Final selection uses
+    GNMT-style length normalization score = logprob / len^alpha.
+    """
+    b = audio_features.shape[0]
+    k = beam_size
+    bk = b * k
+    max_len = n_prompt + opts.max_new_tokens
+    audio = audio_features.astype(dtype)
+
+    # expand each batch row into k identical beams
+    def expand(x):
+        return jnp.repeat(x, k, axis=0)
+
+    cross_kv = [
+        {"k": expand(ckv["k"]), "v": expand(ckv["v"])}
+        for ckv in cross_attention_kv(params, audio, dims)
+    ]
+    cache_len = min(dims.n_text_ctx, -(-max_len // 128) * 128)
+    cache = init_kv_cache(bk, dims, dtype, cache_len=cache_len)
+
+    tokens = jnp.zeros((bk, max_len), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(
+        tokens, expand(prompt.astype(jnp.int32)), (0, 0)
+    )
+    # only beam 0 starts alive; the rest start at -inf so the first
+    # expansion fans out from a single hypothesis
+    beam_scores = jnp.tile(
+        jnp.where(jnp.arange(k) == 0, 0.0, -jnp.inf)[None, :], (b, 1)
+    )  # [B, K]
+
+    sot_index = jnp.argmax((prompt == opts.sot).astype(jnp.int32), axis=1)
+
+    def cond(state):
+        pos, _, _, finished, *_ = state
+        return (pos < max_len) & ~jnp.all(finished)
+
+    def body(state):
+        (pos, tokens, cache, finished, beam_scores, no_speech) = state
+        cur = tokens[jnp.arange(bk), pos - 1]
+        logits, new_cache = decode_step(
+            params, cur, pos - 1, cache, cross_kv, dims, dtype
+        )  # [BK, V]
+
+        probs_all = jax.nn.softmax(logits, axis=-1)
+        at_sot = (pos - 1) == jnp.repeat(sot_index, k)
+        no_speech = jnp.where(
+            at_sot, probs_all[:, opts.no_speech], no_speech
+        )
+
+        in_prompt = pos < n_prompt
+
+        filt = logits + suppress_mask[None, :]
+        if opts.suppress_blank:
+            first_step = pos == n_prompt
+            filt = jnp.where(
+                first_step,
+                filt.at[:, opts.blank_token].set(-jnp.inf)
+                .at[:, opts.eot].set(-jnp.inf),
+                filt,
+            )
+        if opts.min_new_tokens > 0:
+            below = (pos - n_prompt) < opts.min_new_tokens
+            filt = jnp.where(below, filt.at[:, opts.eot].set(-jnp.inf), filt)
+        if not opts.without_timestamps:
+            filt = _apply_timestamp_rules(filt, tokens, pos, n_prompt, opts)
+        else:
+            ids = jnp.arange(filt.shape[1])[None, :]
+            filt = jnp.where(ids >= opts.timestamp_begin, -jnp.inf, filt)
+            filt = filt.at[:, opts.no_timestamps].add(-jnp.inf)
+
+        logprobs = jax.nn.log_softmax(filt, axis=-1)  # [BK, V]
+        v = logprobs.shape[1]
+
+        # finished beams: only EOT continues them, at zero added cost
+        eot_only = jnp.full((v,), -jnp.inf).at[opts.eot].set(0.0)
+        logprobs = jnp.where(finished[:, None], eot_only[None, :], logprobs)
+
+        cand = (
+            beam_scores.reshape(bk)[:, None] + logprobs
+        ).reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand, k)  # [B, K]
+        src_beam = top_idx // v  # [B, K] beam each winner came from
+        new_tok = (top_idx % v).astype(jnp.int32)
+
+        # prompt phase: all beams force the prompt token, scores stay
+        prompt_tok = tokens[jnp.arange(bk), pos].reshape(b, k)
+        new_tok = jnp.where(in_prompt, prompt_tok, new_tok)
+        src_beam = jnp.where(
+            in_prompt, jnp.tile(jnp.arange(k)[None, :], (b, 1)), src_beam
+        )
+        top_scores = jnp.where(
+            in_prompt, beam_scores, top_scores
+        )
+
+        gather_idx = (
+            jnp.arange(b)[:, None] * k + src_beam
+        ).reshape(bk)  # [BK] source row per new beam
+
+        tokens = tokens[gather_idx]
+        tokens = tokens.at[jnp.arange(bk), pos].set(new_tok.reshape(bk))
+        cache = [
+            {
+                "k": kv["k"][gather_idx],
+                "v": kv["v"][gather_idx],
+            }
+            for kv in new_cache
+        ]
+        no_speech = no_speech[gather_idx]
+        finished = finished[gather_idx] | (
+            (~in_prompt) & (new_tok.reshape(bk) == opts.eot)
+        )
+        return (pos + 1, tokens, cache, finished, top_scores, no_speech)
+
+    init = (
+        jnp.int32(1),
+        tokens,
+        cache,
+        jnp.zeros((bk,), bool),
+        beam_scores,
+        jnp.zeros((bk,), jnp.float32),
+    )
+    (_, tokens, _, finished, beam_scores, no_speech) = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    # hypothesis lengths: generated tokens before the first EOT
+    gen = tokens[:, n_prompt:]
+    is_eot = gen == opts.eot
+    any_eot = is_eot.any(axis=1)
+    first_eot = jnp.argmax(is_eot, axis=1)
+    lengths = jnp.where(any_eot, first_eot, gen.shape[1]).astype(jnp.int32)
+
+    norm = jnp.maximum(lengths.reshape(b, k) + 1, 1).astype(jnp.float32)
+    final_scores = beam_scores / (norm**length_penalty)
+    best = jnp.argmax(final_scores, axis=1)  # [B]
+    pick = jnp.arange(b) * k + best
+
+    return (
+        tokens[pick],
+        lengths[pick],
+        beam_scores.reshape(bk)[pick],
+        no_speech[pick],
+    )
+
+
 def detect_language(
     params,
     audio_features: jnp.ndarray,  # [B, n_audio_ctx, D]

@@ -200,6 +200,7 @@ class WhisperEngine:
         min_new_tokens: int = 0,
         previous_tokens: Optional[Sequence[int]] = None,
         sync: bool = True,
+        beam_size: int = 1,
     ):
         b = feats.shape[0]
         sot_seq = self.tokenizer.sot_sequence(
@@ -250,18 +251,39 @@ class WhisperEngine:
                     [valid, np.ones((b, len(sot_seq)), bool)], axis=1
                 )
             )
-        tokens, length, sum_logprob, no_speech = greedy_decode(
-            self.params,
-            feats,
-            prompt_arr,
-            jnp.asarray(suppress_mask),
-            self.dims,
-            opts,
-            n_prompt=n_prompt,
-            rng=jax.random.PRNGKey(rng_seed),
-            dtype=self.dtype,
-            prompt_valid=prompt_valid,
-        )
+        if beam_size > 1 and temperature == 0.0:
+            # beam search (conditioning prefixes not combined with beams
+            # yet: the padded-prompt machinery stays on the greedy path)
+            from .decode import beam_decode
+
+            tokens, length, sum_logprob, no_speech = beam_decode(
+                self.params,
+                feats,
+                prompt_arr if prompt_valid is None else jnp.tile(
+                    jnp.asarray(sot_seq, jnp.int32)[None], (b, 1)
+                ),
+                jnp.asarray(suppress_mask),
+                self.dims,
+                opts,
+                n_prompt=len(sot_seq) if prompt_valid is not None else n_prompt,
+                beam_size=beam_size,
+                dtype=self.dtype,
+            )
+            if prompt_valid is not None:
+                n_prompt = len(sot_seq)
+        else:
+            tokens, length, sum_logprob, no_speech = greedy_decode(
+                self.params,
+                feats,
+                prompt_arr,
+                jnp.asarray(suppress_mask),
+                self.dims,
+                opts,
+                n_prompt=n_prompt,
+                rng=jax.random.PRNGKey(rng_seed),
+                dtype=self.dtype,
+                prompt_valid=prompt_valid,
+            )
         if not sync:
             # leave results on device: lets the caller dispatch the next
             # batch's transfer/compute before synchronizing
@@ -284,6 +306,7 @@ class WhisperEngine:
         without_timestamps: bool = True,
         use_vad: bool = True,
         min_new_tokens: int = 0,
+        beam_size: int = 1,
     ) -> Tuple[List[Segment], TranscriptionInfo]:
         duration = len(audio) / SAMPLE_RATE
         if use_vad:
@@ -333,6 +356,7 @@ class WhisperEngine:
             out = self._decode_batch(
                 feats, language, suppress_mask, without_timestamps, 0.0,
                 min_new_tokens=min_new_tokens, sync=False,
+                beam_size=beam_size,
             )
             pending.append((batch, out))
 
@@ -385,6 +409,7 @@ class WhisperEngine:
         no_speech_threshold: float = 0.6,
         condition_on_previous_text: bool = True,
         without_timestamps: bool = False,
+        beam_size: int = 1,
     ) -> Tuple[List[Segment], TranscriptionInfo]:
         duration = len(audio) / SAMPLE_RATE
         if vad_filter:
@@ -436,6 +461,7 @@ class WhisperEngine:
                         temp,
                         rng_seed=seek + ti,
                         previous_tokens=previous,
+                        beam_size=beam_size,
                     )
                 )
                 toks = tokens[0, n_prompt : n_prompt + lengths[0]].tolist()
