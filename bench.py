@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-AUDIO_SECONDS = 600
+AUDIO_SECONDS = 300
 NORTH_STAR_RTF = 40.0
 
 
@@ -93,7 +93,7 @@ def main() -> None:
         segments, info = engine.transcribe_batched(
             audio,
             language="en",
-            batch_size=8,
+            batch_size=16,
             min_new_tokens=64,
         )
         timings["asr"] = time.time() - t0

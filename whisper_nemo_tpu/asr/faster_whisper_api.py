@@ -18,11 +18,51 @@ Drop-in for the API surface the reference CLI exercises
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..engine.transcribe import Segment, TranscriptionInfo, WhisperEngine
+from ..text.languages import langs_to_iso
+
+
+@dataclass
+class Word:
+    """faster-whisper's per-word record (``word_timestamps=True``)."""
+
+    start: float
+    end: float
+    word: str
+    probability: float
+
+
+def _attach_word_timestamps(
+    segments: List[Segment], audio: np.ndarray, language: str
+) -> None:
+    """Populate ``Segment.words`` using the CTC forced aligner (our
+    engine's equivalent of faster-whisper's attention-DTW word stamps)."""
+    from ..align.api import load_alignment_model
+    from ..align.segmented import align_segments
+
+    timed = [
+        {"start": s.start, "end": s.end, "text": s.text}
+        for s in segments
+        if s.text.strip()
+    ]
+    if not timed:
+        return
+    model, tokenizer = load_alignment_model("auto")
+    words = align_segments(
+        model, tokenizer, audio, timed,
+        language=langs_to_iso.get(language, "eng"),
+    )
+    for seg in segments:
+        seg.words = [
+            Word(w["start"], w["end"], w["text"], w["score"])
+            for w in words
+            if seg.start - 0.6 <= w["start"] <= seg.end + 0.6
+        ]
 
 
 class WhisperModel:
@@ -53,6 +93,7 @@ class WhisperModel:
         suppress_tokens: Sequence[int] = (-1,),
         vad_filter: bool = False,
         without_timestamps: bool = False,
+        word_timestamps: bool = False,
         temperature: Sequence[float] | float = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
         compression_ratio_threshold: float = 2.4,
         log_prob_threshold: float = -1.0,
@@ -75,6 +116,10 @@ class WhisperModel:
             without_timestamps=without_timestamps,
             beam_size=beam_size,
         )
+        if word_timestamps:
+            _attach_word_timestamps(
+                segments, np.asarray(audio, np.float32), info.language
+            )
         return iter(segments), info
 
 
@@ -93,6 +138,7 @@ class BatchedInferencePipeline:
         suppress_tokens: Sequence[int] = (-1,),
         batch_size: int = 8,
         without_timestamps: bool = True,
+        word_timestamps: bool = False,
         **_ignored,
     ) -> Tuple[Iterable[Segment], TranscriptionInfo]:
         segments, info = self.model.engine.transcribe_batched(
@@ -103,4 +149,8 @@ class BatchedInferencePipeline:
             without_timestamps=without_timestamps,
             beam_size=beam_size,
         )
+        if word_timestamps:
+            _attach_word_timestamps(
+                segments, np.asarray(audio, np.float32), info.language
+            )
         return iter(segments), info
