@@ -90,11 +90,16 @@ def main() -> None:
     def run_once(tag):
         timings = {}
         t0 = time.time()
+        # 64..96 generated tokens per 30 s window brackets real speech
+        # density (~2.5-3 tokens/s); random weights never emit EOT, so
+        # without the cap every window would decode to the 224 ceiling,
+        # overcounting decode work ~2.3x vs. real transcripts
         segments, info = engine.transcribe_batched(
             audio,
             language="en",
             batch_size=16,
             min_new_tokens=64,
+            max_new_tokens=96,
         )
         timings["asr"] = time.time() - t0
         log(f"{tag} asr {timings['asr']:.1f}s ({len(segments)} segments)")

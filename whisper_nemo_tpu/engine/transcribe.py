@@ -201,6 +201,7 @@ class WhisperEngine:
         previous_tokens: Optional[Sequence[int]] = None,
         sync: bool = True,
         beam_size: int = 1,
+        max_new_tokens: Optional[int] = None,
     ):
         b = feats.shape[0]
         sot_seq = self.tokenizer.sot_sequence(
@@ -221,7 +222,9 @@ class WhisperEngine:
             without_timestamps=without_timestamps,
             temperature=float(temperature),
             min_new_tokens=min_new_tokens,
-            max_new_tokens=min(224, self.dims.n_text_ctx - n_prompt),
+            max_new_tokens=min(
+                max_new_tokens or 224, self.dims.n_text_ctx - n_prompt
+            ),
         )
         if previous_tokens is None:
             prompt_arr = jnp.tile(
@@ -306,6 +309,7 @@ class WhisperEngine:
         without_timestamps: bool = True,
         use_vad: bool = True,
         min_new_tokens: int = 0,
+        max_new_tokens: Optional[int] = None,
         beam_size: int = 1,
     ) -> Tuple[List[Segment], TranscriptionInfo]:
         duration = len(audio) / SAMPLE_RATE
@@ -356,7 +360,7 @@ class WhisperEngine:
             out = self._decode_batch(
                 feats, language, suppress_mask, without_timestamps, 0.0,
                 min_new_tokens=min_new_tokens, sync=False,
-                beam_size=beam_size,
+                beam_size=beam_size, max_new_tokens=max_new_tokens,
             )
             pending.append((batch, out))
 
