@@ -146,6 +146,27 @@ class WhisperEngine:
         kw.update(over)
         return DecodeOptions(**kw)
 
+    def unload(self) -> None:
+        """Release device buffers and compiled executables.
+
+        The TPU equivalent of the reference's stage-serial VRAM
+        multiplexing (``del model; torch.cuda.empty_cache()``,
+        diarize.py:150-151): parameters are deleted (donating their HBM
+        back to the allocator) and cached jits dropped so the next
+        stage can claim the memory."""
+        for leaf in jax.tree_util.tree_leaves(self.params):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+        self.params = None
+        if hasattr(self, "_encode_cached"):
+            del self._encode_cached
+        import gc
+
+        gc.collect()
+
     # -- helpers ----------------------------------------------------------
     def mel_window(self, audio: np.ndarray) -> jnp.ndarray:
         """Pad/trim a ≤30 s chunk to exactly 30 s and compute mel."""
