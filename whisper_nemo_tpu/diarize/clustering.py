@@ -81,7 +81,9 @@ def estimate_num_speakers(
 def _nme_ratio(affinity: np.ndarray, p: int, max_num_speakers: int) -> Tuple[float, int]:
     binarized = binarize_top_p(affinity, p)
     lap = laplacian(binarized)
-    evals, _ = eigen_decompose(lap)
+    # the p-search only needs eigenvalues (no vectors): eigvalsh is
+    # ~2-3x cheaper than the full decomposition
+    evals = np.linalg.eigvalsh(np.asarray(lap, np.float32))
     n_spk, gap = estimate_num_speakers(evals, max_num_speakers)
     # normalized maximum eigengap: larger gap per neighbor count is better
     g = gap / (p + 1e-10)

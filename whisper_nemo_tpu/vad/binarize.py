@@ -39,19 +39,28 @@ def binarize_probs(
     ``pad_offset`` seconds (which may be negative, as the reference's
     pad_offset=-0.05 override is). Returns [(start_s, end_s), ...].
     """
-    segments: List[Tuple[float, float]] = []
-    active = False
-    start = 0.0
-    for i, p in enumerate(probs):
-        t = i * frame_shift
-        if not active and p >= onset:
-            active = True
-            start = t
-        elif active and p < offset:
-            segments.append((start, t))
-            active = False
-    if active:
-        segments.append((start, len(probs) * frame_shift))
+    probs = np.asarray(probs)
+    n = len(probs)
+    if n == 0:
+        return []
+    # vectorized hysteresis: the state at frame i is the sign of the
+    # most recent onset/offset event (frames between thresholds keep
+    # the previous state)
+    events = np.where(
+        probs >= onset, 1, np.where(probs < offset, -1, 0)
+    )
+    idx = np.arange(n)
+    last_event = np.maximum.accumulate(np.where(events != 0, idx, -1))
+    state = np.where(
+        last_event >= 0, events[np.maximum(last_event, 0)] > 0, False
+    )
+    edges = np.diff(np.concatenate([[False], state, [False]]).astype(int))
+    starts = np.nonzero(edges == 1)[0]
+    ends = np.nonzero(edges == -1)[0]
+    segments: List[Tuple[float, float]] = [
+        (float(s * frame_shift), float(e * frame_shift))
+        for s, e in zip(starts, ends)
+    ]
 
     padded = []
     for s, e in segments:
