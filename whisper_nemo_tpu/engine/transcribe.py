@@ -437,12 +437,21 @@ class WhisperEngine:
         beam_size: int = 1,
     ) -> Tuple[List[Segment], TranscriptionInfo]:
         duration = len(audio) / SAMPLE_RATE
+        time_map = None  # [(concat_start_s, orig_start_s, dur_s)]
         if vad_filter:
             spans = get_speech_timestamps(audio)
             if spans:
                 keep = np.concatenate(
                     [audio[s["start"] : s["end"]] for s in spans]
                 )
+                time_map = []
+                offset = 0.0
+                for s in spans:
+                    dur = (s["end"] - s["start"]) / SAMPLE_RATE
+                    time_map.append(
+                        (offset, s["start"] / SAMPLE_RATE, dur)
+                    )
+                    offset += dur
                 audio = keep
         duration_after_vad = len(audio) / SAMPLE_RATE
 
@@ -543,6 +552,14 @@ class WhisperEngine:
                 # high-temperature fallback output is unreliable context
                 prompt_reset_since = len(all_tokens)
 
+        if time_map is not None:
+            # map segment times from VAD-concatenated audio back to the
+            # original recording (piecewise per speech chunk — the
+            # faster-whisper vad_filter timestamp-restoration contract)
+            for seg in segments:
+                seg.start = _restore_vad_time(seg.start, time_map)
+                seg.end = _restore_vad_time(seg.end, time_map)
+
         info = TranscriptionInfo(
             language=language,
             language_probability=lang_prob,
@@ -550,6 +567,15 @@ class WhisperEngine:
             duration_after_vad=duration_after_vad,
         )
         return segments, info
+
+
+def _restore_vad_time(t: float, time_map) -> float:
+    """Concatenated-audio time → original-recording time."""
+    for concat_start, orig_start, dur in time_map:
+        if t <= concat_start + dur:
+            return orig_start + max(0.0, t - concat_start)
+    last_c, last_o, last_d = time_map[-1]
+    return last_o + last_d + (t - last_c - last_d)
 
 
 def _merge_spans_into_windows(
