@@ -82,29 +82,42 @@ class NeuralDiarizer:
         else:
             self.vad_params = None  # energy VAD fallback
 
-        spk_ckpt = os.path.join(
-            cache, f"{d.speaker_embeddings.model_path}.npz"
-        )
+        spk_name = d.speaker_embeddings.model_path or "titanet_large"
+        spk_ckpt = os.path.join(cache, f"{spk_name}.npz")
+        if spk_name == "ecapa_tdnn":
+            from ..models import ecapa
+
+            self._embed_module = ecapa.embed
+            full_dims = ecapa.EcapaDims()
+            small_dims = ecapa.EcapaDims(
+                channels=64, agg_channels=96, res2net_scale=4,
+                se_reduction=4, attn_hidden=32,
+            )
+            init_fn = ecapa.init_ecapa_params
+        else:
+            # titanet_* (speakerverification_speakernet maps here too —
+            # same embedding contract, titanet architecture)
+            self._embed_module = titanet.embed
+            full_dims = _TITANET_LARGE
+            small_dims = _TITANET_SMALL
+            init_fn = titanet.init_titanet_params
+
         if os.path.exists(spk_ckpt):
-            self.titanet_params = load_params(spk_ckpt)
-            self.titanet_dims = _TITANET_LARGE
+            self.spk_params = load_params(spk_ckpt)
+            self.spk_dims = full_dims
         elif self._force_large:
             # benchmarking path: production-scale architecture, random init
-            self.titanet_dims = _TITANET_LARGE
-            self.titanet_params = titanet.init_titanet_params(
-                jax.random.PRNGKey(2), self.titanet_dims
-            )
+            self.spk_dims = full_dims
+            self.spk_params = init_fn(jax.random.PRNGKey(2), self.spk_dims)
         else:
             logger.warning(
-                "no speaker-embedding checkpoint at %s; using compact "
-                "random-initialized TitaNet (diarization quality will be "
+                "no speaker-embedding checkpoint at %s; using a compact "
+                "random-initialized %s (diarization quality will be "
                 "meaningless until converted weights are installed)",
-                spk_ckpt,
+                spk_ckpt, spk_name,
             )
-            self.titanet_dims = _TITANET_SMALL
-            self.titanet_params = titanet.init_titanet_params(
-                jax.random.PRNGKey(2), self.titanet_dims
-            )
+            self.spk_dims = small_dims
+            self.spk_params = init_fn(jax.random.PRNGKey(2), self.spk_dims)
 
         self.msdd_params = None
         if d.msdd_model.model_path:
@@ -127,7 +140,7 @@ class NeuralDiarizer:
                 )
 
         self._embed_jit = jax.jit(
-            lambda p, f, l: titanet.embed(p, f, l, self.titanet_dims)
+            lambda p, f, l: self._embed_module(p, f, l, self.spk_dims)
         )
 
         def _gather_embed(params, features, idx, lengths):
@@ -144,8 +157,8 @@ class NeuralDiarizer:
                 axis=1, keepdims=True
             ) / denom
             windows = (windows - mu) / (jnp.sqrt(var) + 1e-5) * mask
-            return titanet.embed(
-                params, windows, lengths, self.titanet_dims
+            return self._embed_module(
+                params, windows, lengths, self.spk_dims
             )
 
         self._gather_embed_jit = jax.jit(_gather_embed)
@@ -204,7 +217,7 @@ class NeuralDiarizer:
         transfers to HBM exactly once)."""
         return log_mel_features(
             jnp.asarray(audio),
-            n_mels=self.titanet_dims.n_mels,
+            n_mels=self.spk_dims.n_mels,
             normalize=False,
         )
 
@@ -245,7 +258,7 @@ class NeuralDiarizer:
         embs = []
         for b in range(0, len(starts), batch_size):
             out = self._gather_embed_jit(
-                self.titanet_params,
+                self.spk_params,
                 features,
                 jnp.asarray(idx[b : b + batch_size]),
                 jnp.asarray(lengths_np[b : b + batch_size]),
