@@ -116,3 +116,18 @@ def test_non_speech_tokens_nonempty():
     toks = tok.non_speech_tokens()
     assert len(toks) > 5
     assert all(isinstance(t, int) for t in toks)
+
+
+def test_from_dir_tokenizer_json(tmp_path):
+    table = bytes_to_unicode()
+    vocab = {table[b]: b for b in range(256)}
+    vocab["he"] = 256
+    spec = {
+        "model": {"type": "BPE", "vocab": vocab, "merges": ["h e"]},
+        "added_tokens": [{"content": "<|endoftext|>"}],
+    }
+    (tmp_path / "tokenizer.json").write_text(json.dumps(spec))
+    tok = WhisperTokenizer.from_dir(str(tmp_path))
+    assert tok.encode("he") == [256]
+    assert tok.decode([256]) == "he"
+    assert tok.layout.n_languages == 99

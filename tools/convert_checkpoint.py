@@ -59,7 +59,7 @@ def convert_whisper(hf_dir: str, name: str, out_dir: str) -> str:
     params = convert_hf_whisper_state_dict(load_state_dict(hf_dir), dims)
     out = os.path.join(out_dir, f"{name}.npz")
     save_params(out, params)
-    for asset in ("vocab.json", "merges.txt"):
+    for asset in ("vocab.json", "merges.txt", "tokenizer.json"):
         src = os.path.join(hf_dir, asset)
         if os.path.exists(src):
             shutil.copy(src, os.path.join(out_dir, asset))

@@ -113,21 +113,22 @@ class WhisperEngine:
         self.dtype = _dtype_for_compute_type(compute_type)
         self.multilingual = not model_name.endswith(".en")
         if tokenizer is None:
+            from .checkpoint import model_cache_dir
+
             n_langs = 100 if dims.n_vocab >= 51866 else 99
-            vocab_dir = (
-                os.path.dirname(model_name)
-                if model_name.endswith(".npz")
-                else os.path.join(
-                    os.path.dirname(model_name) if os.sep in model_name else "",
-                )
-            )
-            if vocab_dir and os.path.exists(
-                os.path.join(vocab_dir, "vocab.json")
-            ):
-                tokenizer = WhisperTokenizer.from_dir(
-                    vocab_dir, multilingual=self.multilingual
-                )
-            else:
+            candidates = [model_cache_dir()]
+            if os.sep in model_name:
+                candidates.insert(0, os.path.dirname(model_name))
+            tokenizer = None
+            for vocab_dir in candidates:
+                if os.path.exists(os.path.join(vocab_dir, "vocab.json")) or (
+                    os.path.exists(os.path.join(vocab_dir, "tokenizer.json"))
+                ):
+                    tokenizer = WhisperTokenizer.from_dir(
+                        vocab_dir, multilingual=self.multilingual
+                    )
+                    break
+            if tokenizer is None:
                 tokenizer = WhisperTokenizer.byte_fallback(
                     multilingual=self.multilingual, n_languages=n_langs
                 )

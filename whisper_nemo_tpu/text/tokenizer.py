@@ -244,8 +244,19 @@ class WhisperTokenizer:
     # -- constructors -----------------------------------------------------
     @classmethod
     def from_dir(cls, path: str, multilingual: bool = True) -> "WhisperTokenizer":
-        """Load vocab.json + merges.txt from a local model directory."""
-        with open(os.path.join(path, "vocab.json")) as f:
+        """Load tokenizer assets from a local model directory.
+
+        Accepts either ``vocab.json`` + ``merges.txt`` (GPT-2 layout) or
+        a HF ``tokenizer.json`` (from which vocab and merges are
+        extracted)."""
+        vocab_path = os.path.join(path, "vocab.json")
+        if not os.path.exists(vocab_path) and os.path.exists(
+            os.path.join(path, "tokenizer.json")
+        ):
+            return cls._from_tokenizer_json(
+                os.path.join(path, "tokenizer.json"), multilingual
+            )
+        with open(vocab_path) as f:
             vocab = json.load(f)
         merges: List[Tuple[str, str]] = []
         with open(os.path.join(path, "merges.txt")) as f:
@@ -260,6 +271,29 @@ class WhisperTokenizer:
         }
         n_base = max(base_vocab.values()) + 1
         n_langs = 100 if any("<|yue|>" in t for t in vocab) else 99
+        layout = SpecialTokenLayout(n_base, n_langs)
+        return cls(ByteLevelBPE(base_vocab, merges), layout, multilingual)
+
+    @classmethod
+    def _from_tokenizer_json(
+        cls, path: str, multilingual: bool = True
+    ) -> "WhisperTokenizer":
+        """Build from a HF tokenizer.json (BPE model section)."""
+        with open(path) as f:
+            spec = json.load(f)
+        model = spec.get("model", {})
+        vocab = model.get("vocab", {})
+        merges: List[Tuple[str, str]] = []
+        for m in model.get("merges", []):
+            if isinstance(m, str):
+                a, b = m.split(" ")
+            else:
+                a, b = m
+            merges.append((a, b))
+        base_vocab = {t: i for t, i in vocab.items() if not t.startswith("<|")}
+        n_base = max(base_vocab.values()) + 1
+        added = {t["content"] for t in spec.get("added_tokens", [])}
+        n_langs = 100 if "<|yue|>" in added else 99
         layout = SpecialTokenLayout(n_base, n_langs)
         return cls(ByteLevelBPE(base_vocab, merges), layout, multilingual)
 
