@@ -38,14 +38,7 @@ def main() -> None:
     from whisper_nemo_tpu.config import create_config
     from whisper_nemo_tpu.diarize.pipeline import NeuralDiarizer
     from whisper_nemo_tpu.engine.transcribe import WhisperEngine
-    from whisper_nemo_tpu.align import (
-        generate_emissions,
-        get_alignments,
-        get_spans,
-        load_alignment_model,
-        postprocess_results,
-        preprocess_text,
-    )
+    from whisper_nemo_tpu.align import load_alignment_model
 
     fixture = "/root/reference/tests/assets/test.opus"
     base = decode_audio(fixture)

@@ -19,7 +19,6 @@ afterwards.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Sequence
 
 import jax

@@ -9,7 +9,7 @@ field 11 = ``speaker_N``).
 
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence, Tuple
+from typing import Iterable, List, Tuple
 
 
 def write_rttm(

@@ -13,7 +13,7 @@ with random weights.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Mapping, Sequence, Tuple
+from typing import Any, Dict, Mapping, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ and segment ids mask the padding.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

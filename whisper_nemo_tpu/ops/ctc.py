@@ -14,7 +14,6 @@ emission column.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Tuple
 
 import jax

@@ -8,7 +8,7 @@ profiling uses jax.profiler traces viewable in TensorBoard/Perfetto.
 from __future__ import annotations
 
 import contextlib
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 
