@@ -91,3 +91,45 @@ def test_engine_int8_compute_type(tiny_model):
     audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
     segments, info = eng.transcribe_batched(audio, language="en", batch_size=1)
     assert isinstance(segments, list)
+
+
+def test_int8_cross_kv_decode_close_to_fp(tiny_model):
+    """int8 cross-attention KV: greedy tokens should largely agree with
+    the full-precision path on the same features."""
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.engine.decode import (
+        DecodeOptions,
+        build_suppress_mask,
+        greedy_decode,
+    )
+    from whisper_nemo_tpu.text.tokenizer import WhisperTokenizer
+
+    params, dims = tiny_model
+    dims = WhisperDims(
+        n_audio_ctx=32, n_audio_layer=2, n_text_layer=2,
+        n_audio_state=64, n_text_state=64, n_audio_head=4, n_text_head=4,
+        n_vocab=51865, n_text_ctx=64,
+    )
+    params = init_whisper_params(jax.random.PRNGKey(1), dims)
+    tok = WhisperTokenizer.byte_fallback()
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 64)), jnp.float32)
+    feats = encode(params, mel, dims)
+    prompt = jnp.asarray([tok.sot_sequence("en")], jnp.int32)
+    opts = DecodeOptions(
+        max_new_tokens=24, eot=tok.eot, sot=tok.sot,
+        no_speech=tok.no_speech, no_timestamps=tok.no_timestamps,
+        timestamp_begin=tok.timestamp_begin,
+    )
+    mask = jnp.asarray(build_suppress_mask(dims.n_vocab, []))
+    t_fp, l_fp, *_ = greedy_decode(
+        params, feats, prompt, mask, dims, opts, n_prompt=4, kv_int8=False
+    )
+    t_q, l_q, *_ = greedy_decode(
+        params, feats, prompt, mask, dims, opts, n_prompt=4, kv_int8=True
+    )
+    a = np.asarray(t_fp)[0, 4:]
+    b = np.asarray(t_q)[0, 4:]
+    agree = (a == b).mean()
+    assert agree > 0.5, f"int8 KV diverged too much: {agree}"

@@ -132,6 +132,15 @@ def load_alignment_model(
         )
         params = init_wav2vec2_params(jax.random.PRNGKey(1), dims)
     jdtype = jnp.bfloat16 if dtype in ("float16", "bfloat16") else jnp.float32
+    if jdtype == jnp.bfloat16:
+        # store weights in the compute dtype (HBM-traffic halving; see
+        # WhisperEngine)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            params,
+        )
     return AlignmentModel(params, dims, jdtype), tokenizer
 
 

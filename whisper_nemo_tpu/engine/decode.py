@@ -28,6 +28,7 @@ from ..models.whisper import (
     cross_attention_kv,
     decode_step,
     init_kv_cache,
+    quantize_cross_kv,
 )
 
 
@@ -134,7 +135,7 @@ def _apply_timestamp_rules(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dims", "opts", "n_prompt", "dtype")
+    jax.jit, static_argnames=("dims", "opts", "n_prompt", "dtype", "kv_int8")
 )
 def greedy_decode(
     params,
@@ -147,6 +148,7 @@ def greedy_decode(
     rng: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
     prompt_valid: Optional[jnp.ndarray] = None,  # [B, n_prompt] bool
+    kv_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched decode. Returns (tokens [B, L], lengths [B],
     sum_logprob [B], no_speech_prob [B]).
@@ -162,6 +164,10 @@ def greedy_decode(
     max_len = n_prompt + opts.max_new_tokens
     audio = audio_features.astype(dtype)
     cross_kv = cross_attention_kv(params, audio, dims)
+    if kv_int8:
+        # halve the decode loop's dominant HBM stream (the full encoder
+        # K/V is read every step)
+        cross_kv = quantize_cross_kv(cross_kv)
     # right-size the cache to the decode budget (rounded to the lane
     # tile): per-step attention cost scales with cache length
     cache_len = min(dims.n_text_ctx, -(-max_len // 128) * 128)
@@ -282,7 +288,8 @@ def greedy_decode(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dims", "opts", "n_prompt", "beam_size", "dtype")
+    jax.jit,
+    static_argnames=("dims", "opts", "n_prompt", "beam_size", "dtype", "kv_int8"),
 )
 def beam_decode(
     params,
@@ -295,6 +302,7 @@ def beam_decode(
     beam_size: int = 5,
     length_penalty: float = 1.0,
     dtype=jnp.float32,
+    kv_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched beam search (the faster-whisper/CT2 default decode mode,
     beam_size=5). Returns (tokens [B, L], lengths [B], sum_logprob [B],
@@ -315,10 +323,23 @@ def beam_decode(
     def expand(x):
         return jnp.repeat(x, k, axis=0)
 
-    cross_kv = [
-        {"k": expand(ckv["k"]), "v": expand(ckv["v"])}
-        for ckv in cross_attention_kv(params, audio, dims)
-    ]
+    base_kv = cross_attention_kv(params, audio, dims)
+    if kv_int8:
+        base_kv = quantize_cross_kv(base_kv)
+        cross_kv = [
+            {
+                "k_q": expand(ckv["k_q"]),
+                "v_q": expand(ckv["v_q"]),
+                "k_scale": ckv["k_scale"],
+                "v_scale": ckv["v_scale"],
+            }
+            for ckv in base_kv
+        ]
+    else:
+        cross_kv = [
+            {"k": expand(ckv["k"]), "v": expand(ckv["v"])}
+            for ckv in base_kv
+        ]
     cache_len = min(dims.n_text_ctx, -(-max_len // 128) * 128)
     cache = init_kv_cache(bk, dims, dtype, cache_len=cache_len)
 

@@ -107,10 +107,23 @@ class WhisperEngine:
             from .quantize import quantize_whisper_params
 
             params = quantize_whisper_params(params)
+        elif _dtype_for_compute_type(compute_type) == jnp.bfloat16:
+            # store weights in the compute dtype: keeping them f32 and
+            # casting per use doubles the decode loop's HBM weight
+            # traffic (the decode step is bandwidth-bound)
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                params,
+            )
         self.params = params
         self.dims = dims
         self.model_name = model_name
         self.dtype = _dtype_for_compute_type(compute_type)
+        # int8 cross-attention KV for reduced-precision compute types:
+        # the decode loop's dominant HBM stream halves
+        self.kv_int8 = compute_type in ("bfloat16", "float16", "int8")
         self.multilingual = not model_name.endswith(".en")
         if tokenizer is None:
             from .checkpoint import model_cache_dir
@@ -293,6 +306,7 @@ class WhisperEngine:
                 n_prompt=len(sot_seq) if prompt_valid is not None else n_prompt,
                 beam_size=beam_size,
                 dtype=self.dtype,
+                kv_int8=self.kv_int8,
             )
             if prompt_valid is not None:
                 n_prompt = len(sot_seq)
@@ -308,6 +322,7 @@ class WhisperEngine:
                 rng=jax.random.PRNGKey(rng_seed),
                 dtype=self.dtype,
                 prompt_valid=prompt_valid,
+                kv_int8=self.kv_int8,
             )
         if not sync:
             # leave results on device: lets the caller dispatch the next

@@ -290,6 +290,51 @@ def _cross_attn_kv(params: Params, audio: jnp.ndarray, dims: WhisperDims):
     return kvs
 
 
+def quantize_cross_kv(cross_kv: list) -> list:
+    """int8-quantize precomputed cross-attention K/V.
+
+    The decode loop reads the full encoder K/V every step (for medium at
+    batch 16 that is ~2.3 GB/step in bf16 — the dominant HBM traffic);
+    int8 storage halves it. Scales are per (head, channel); the K scale
+    folds into Q before the score matmul and the V scale applies after
+    the weighted sum, so dequantization adds no matmuls.
+    """
+    out = []
+    for kv in cross_kv:
+        q_entries = {}
+        for name in ("k", "v"):
+            x = kv[name].astype(jnp.float32)  # [B, T, H, D]
+            amax = jnp.max(jnp.abs(x), axis=(0, 1))  # [H, D]
+            scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+            q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+            q_entries[f"{name}_q"] = q
+            q_entries[f"{name}_scale"] = scale.astype(jnp.float32)
+        out.append(q_entries)
+    return out
+
+
+def _cross_attention_step(blk, x, ckv, n_head):
+    """Single-query cross-attention supporting int8-quantized K/V."""
+    b = x.shape[0]
+    q = _split_heads(_linear(blk["cross_attn"]["q"], x), n_head)
+    if "k_q" in ckv:
+        scale = q.shape[-1] ** -0.5
+        q_scaled = q * (ckv["k_scale"][None, None] * scale).astype(q.dtype)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk",
+            q_scaled,
+            ckv["k_q"].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        attn = jnp.einsum(
+            "bhqk,bkhd->bqhd", weights, ckv["v_q"].astype(q.dtype)
+        ) * ckv["v_scale"][None, None].astype(q.dtype)
+    else:
+        attn = _attention(q, ckv["k"], ckv["v"])
+    return _linear(blk["cross_attn"]["o"], attn.reshape(b, 1, -1))
+
+
 def decoder_forward(
     params: Params,
     tokens: jnp.ndarray,
@@ -407,11 +452,7 @@ def decode_step(
         x = x + _linear(blk["attn"]["o"], attn)
 
         xq = _layer_norm(blk["ln_cross"], x)
-        qc = _split_heads(
-            _linear(blk["cross_attn"]["q"], xq), dims.n_text_head
-        )
-        cross = _attention(qc, ckv["k"], ckv["v"]).reshape(b, 1, -1)
-        x = x + _linear(blk["cross_attn"]["o"], cross)
+        x = x + _cross_attention_step(blk, xq, ckv, dims.n_text_head)
         x = x + _mlp(blk["mlp_in"], blk["mlp_out"], _layer_norm(blk["ln2"], x))
 
     x = _layer_norm(dec["ln"], x)
