@@ -110,6 +110,16 @@ def build_arg_parser(parallel: bool = False) -> argparse.ArgumentParser:
         choices=["telephonic", "meeting", "general"],
         help="diarizer domain preset (the reference hardcodes telephonic)",
     )
+    if parallel:
+        parser.add_argument(
+            "--subprocess-diarization",
+            action="store_true",
+            dest="subprocess_diarization",
+            default=False,
+            help="run the diarization branch in a child OS process "
+            "(the reference's isolation mechanism) instead of an "
+            "in-process thread",
+        )
     return parser
 
 
@@ -338,16 +348,40 @@ def run_parallel(args) -> None:
     diar_result: dict = {}
     diar_error: list = []
 
-    def diar_branch():
-        try:
-            diar_result["speaker_ts"] = run_diarization(
-                audio, temp_path, args.domain
-            )
-        except Exception as exc:  # surfaced at join, like the rc!=0 assert
-            diar_error.append(exc)
+    use_subprocess = getattr(args, "subprocess_diarization", False)
+    if use_subprocess:
+        # the reference's exact isolation mechanism
+        # (diarize_parallel.py:117-120): a child OS process runs the
+        # diarization branch; join checks the return code and surfaces
+        # the child's stderr
+        import subprocess
+        import sys
 
-    thread = threading.Thread(target=diar_branch, name="diarization-branch")
-    thread.start()
+        child = subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(__file__), "..", "..",
+                             "nemo_process.py"),
+                "-a", vocal_target,
+                "--device", args.device,
+                "--domain", args.domain,
+            ],
+            stderr=subprocess.PIPE,
+        )
+    else:
+
+        def diar_branch():
+            try:
+                diar_result["speaker_ts"] = run_diarization(
+                    audio, temp_path, args.domain
+                )
+            except Exception as exc:  # surfaced at join, like rc!=0
+                diar_error.append(exc)
+
+        thread = threading.Thread(
+            target=diar_branch, name="diarization-branch"
+        )
+        thread.start()
 
     with stage_timer("asr", logger):
         asr = run_asr(
@@ -359,6 +393,25 @@ def run_parallel(args) -> None:
             audio, asr.full_transcript, asr.language,
             args.batch_size, args.device, timed_segments=asr.segments,
         )
+
+    if use_subprocess:
+        _, stderr = child.communicate()
+        if child.returncode != 0:
+            raise RuntimeError(
+                "Diarization branch (child process) failed:\n"
+                + stderr.decode(errors="replace")
+            )
+        from ..diarize import read_speaker_timestamps
+
+        diar_result["speaker_ts"] = read_speaker_timestamps(
+            os.path.join(temp_path, "pred_rttms", "mono_file.rttm")
+        )
+        _merge_and_write(
+            word_timestamps, diar_result["speaker_ts"],
+            asr.language, args.audio,
+        )
+        cleanup(temp_path)
+        return
 
     thread.join()
     if diar_error:

@@ -80,7 +80,10 @@ class NeuralDiarizer:
         if os.path.exists(vad_ckpt):
             self.vad_params = load_params(vad_ckpt)
         else:
-            self.vad_params = None  # energy VAD fallback
+            # energy VAD fallback (also under force_large: random VAD
+            # logits would sit near 0.5 and never cross the onset
+            # threshold, collapsing the downstream benchmark workload)
+            self.vad_params = None
 
         spk_name = d.speaker_embeddings.model_path or "titanet_large"
         spk_ckpt = os.path.join(cache, f"{spk_name}.npz")
