@@ -1,0 +1,95 @@
+import numpy as np
+import pytest
+
+import jax
+
+from whisper_nemo_tpu.engine.transcribe import WhisperEngine
+from whisper_nemo_tpu.models.whisper import WhisperDims, init_whisper_params
+from whisper_nemo_tpu.serving.scheduler import WindowScheduler
+from whisper_nemo_tpu.text.tokenizer import WhisperTokenizer
+
+
+@pytest.fixture(scope="module")
+def engine():
+    dims = WhisperDims(
+        n_audio_ctx=1500, n_audio_layer=1, n_text_layer=1,
+        n_audio_state=64, n_text_state=64, n_audio_head=4, n_text_head=4,
+        n_vocab=51865, n_text_ctx=96,
+    )
+    params = init_whisper_params(jax.random.PRNGKey(0), dims)
+    return WhisperEngine(
+        "tiny", params=params, dims=dims,
+        tokenizer=WhisperTokenizer.byte_fallback(),
+    )
+
+
+def test_scheduler_single_request(engine):
+    sched = WindowScheduler(engine, batch_size=4, max_new_tokens=8)
+    try:
+        rng = np.random.default_rng(0)
+        audio = (rng.standard_normal(40 * 16000) * 0.2).astype(np.float32)
+        segments = sched.transcribe(audio, "en")
+        assert len(segments) >= 2
+        for s in segments:
+            assert s.end > s.start
+    finally:
+        sched.shutdown()
+
+
+def test_scheduler_concurrent_requests_share_batches(engine):
+    import threading
+
+    sched = WindowScheduler(
+        engine, batch_size=8, max_wait_s=0.2, max_new_tokens=8
+    )
+    try:
+        rng = np.random.default_rng(1)
+        results = {}
+
+        def client(name, seed):
+            audio = (
+                np.random.default_rng(seed).standard_normal(35 * 16000) * 0.2
+            ).astype(np.float32)
+            results[name] = sched.transcribe(audio, "en")
+
+        threads = [
+            threading.Thread(target=client, args=(f"c{i}", i))
+            for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert set(results) == {"c0", "c1", "c2"}
+        for segs in results.values():
+            assert len(segs) >= 1
+            # windows are returned in submission (time) order
+            starts = [s.start for s in segs]
+            assert starts == sorted(starts)
+    finally:
+        sched.shutdown()
+
+
+def test_scheduler_error_propagates(engine):
+    sched = WindowScheduler(engine, batch_size=2, max_new_tokens=8)
+    try:
+        # poison the engine to force a batch failure
+        original = engine._decode_batch
+
+        def boom(*a, **k):
+            raise RuntimeError("decode exploded")
+
+        engine._decode_batch = boom
+        futures = sched.submit_audio(
+            (np.random.default_rng(2).standard_normal(16000) * 0.3).astype(
+                np.float32
+            ),
+            "en",
+        )
+        with pytest.raises(RuntimeError, match="decode exploded"):
+            for f in futures:
+                f.result(timeout=60)
+        engine._decode_batch = original
+    finally:
+        engine._decode_batch = original
+        sched.shutdown()

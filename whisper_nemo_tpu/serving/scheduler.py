@@ -1,0 +1,180 @@
+"""Cross-request window batching for serving.
+
+The reference serves one request at a time (RunPod worker). A TPU chip
+is most efficient when its decode batch is full, so this scheduler lets
+many concurrent transcription requests share one engine: each request's
+30 s windows enter a queue, a single device thread drains the queue
+into fixed-size batches (padding the tail), and per-window results are
+routed back to the submitting request's future. With one request the
+behavior degrades to plain batched decoding; with many, windows from
+different requests ride the same decode loop ("continuous batching" at
+window granularity — natural for Whisper because every window is an
+independent decode).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..engine.decode import build_suppress_mask
+from ..engine.transcribe import (
+    Segment,
+    WhisperEngine,
+    compression_ratio,
+    _merge_spans_into_windows,
+)
+from ..ops.mel import HOP_LENGTH, N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram_batch
+from ..utils import get_logger
+from ..vad import get_speech_timestamps
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class _WindowItem:
+    audio: np.ndarray  # exactly one ≤30 s window, zero-padded by caller
+    start_s: float
+    end_s: float
+    language: str
+    future: Future = field(default_factory=Future)
+
+
+class WindowScheduler:
+    """Single-device scheduler batching windows across requests."""
+
+    def __init__(
+        self,
+        engine: WhisperEngine,
+        batch_size: int = 16,
+        max_wait_s: float = 0.05,
+        beam_size: int = 1,
+        max_new_tokens: Optional[int] = None,
+    ):
+        self.engine = engine
+        self.batch_size = batch_size
+        self.max_wait_s = max_wait_s
+        self.beam_size = beam_size
+        self.max_new_tokens = max_new_tokens
+        self._queue: "queue.Queue[_WindowItem]" = queue.Queue()
+        self._suppress = build_suppress_mask(engine.dims.n_vocab, [])
+        self._stop = threading.Event()
+        self._worker = threading.Thread(
+            target=self._run, name="window-scheduler", daemon=True
+        )
+        self._worker.start()
+
+    # -- request side -------------------------------------------------------
+    def submit_audio(
+        self, audio: np.ndarray, language: str = "en"
+    ) -> List[Future]:
+        """Split a recording into VAD windows and enqueue them.
+
+        Returns one future per window; each resolves to a Segment.
+        """
+        spans = get_speech_timestamps(audio) or [
+            {"start": 0, "end": len(audio)}
+        ]
+        windows = _merge_spans_into_windows(spans, N_SAMPLES)
+        futures = []
+        for s, e in windows:
+            chunk = np.zeros(N_SAMPLES, np.float32)
+            piece = audio[s:e][:N_SAMPLES]
+            chunk[: len(piece)] = piece
+            item = _WindowItem(
+                audio=chunk,
+                start_s=s / SAMPLE_RATE,
+                end_s=e / SAMPLE_RATE,
+                language=language,
+            )
+            self._queue.put(item)
+            futures.append(item.future)
+        return futures
+
+    def transcribe(
+        self, audio: np.ndarray, language: str = "en"
+    ) -> List[Segment]:
+        """Blocking convenience wrapper: submit and gather in order."""
+        futures = self.submit_audio(audio, language)
+        return [f.result() for f in futures]
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # -- device side ---------------------------------------------------------
+    def _collect_batch(self) -> List[_WindowItem]:
+        items: List[_WindowItem] = []
+        try:
+            items.append(self._queue.get(timeout=0.1))
+        except queue.Empty:
+            return items
+        # wait briefly for more work to fill the batch
+        deadline = self.max_wait_s
+        while len(items) < self.batch_size:
+            try:
+                items.append(self._queue.get(timeout=deadline))
+            except queue.Empty:
+                break
+        return items
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            items = self._collect_batch()
+            if not items:
+                continue
+            try:
+                self._process(items)
+            except Exception as exc:  # route the failure to every waiter
+                logger.error("scheduler batch failed: %s", exc)
+                for item in items:
+                    if not item.future.done():
+                        item.future.set_exception(exc)
+
+    def _process(self, items: List[_WindowItem]) -> None:
+        # group by language (prompt differs); usually one group
+        by_lang = {}
+        for item in items:
+            by_lang.setdefault(item.language, []).append(item)
+        for language, group in by_lang.items():
+            waves = np.zeros((self.batch_size, N_SAMPLES), np.float32)
+            for i, item in enumerate(group):
+                waves[i] = item.audio
+            mels = log_mel_spectrogram_batch(
+                jnp.asarray(waves), self.engine.dims.n_mels
+            )
+            feats = self.engine.encode_windows(mels)
+            tokens, lengths, sum_lp, no_speech, n_prompt = (
+                self.engine._decode_batch(
+                    feats,
+                    language,
+                    self._suppress,
+                    True,
+                    0.0,
+                    beam_size=self.beam_size,
+                    max_new_tokens=self.max_new_tokens,
+                )
+            )
+            for i, item in enumerate(group):
+                toks = tokens[i, n_prompt : n_prompt + lengths[i]].tolist()
+                text = self.engine.tokenizer.decode(toks)
+                item.future.set_result(
+                    Segment(
+                        id=0,
+                        seek=int(item.start_s * SAMPLE_RATE) // HOP_LENGTH,
+                        start=item.start_s,
+                        end=item.end_s,
+                        text=text,
+                        tokens=toks,
+                        avg_logprob=float(sum_lp[i]) / (int(lengths[i]) + 1),
+                        compression_ratio=compression_ratio(text),
+                        no_speech_prob=float(no_speech[i]),
+                    )
+                )
