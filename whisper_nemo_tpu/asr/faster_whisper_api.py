@@ -115,6 +115,7 @@ class WhisperModel:
             condition_on_previous_text=condition_on_previous_text,
             without_timestamps=without_timestamps,
             beam_size=beam_size,
+            task=task,
         )
         if word_timestamps:
             _attach_word_timestamps(
@@ -148,6 +149,7 @@ class BatchedInferencePipeline:
             batch_size=batch_size,
             without_timestamps=without_timestamps,
             beam_size=beam_size,
+            task=task,
         )
         if word_timestamps:
             _attach_word_timestamps(

@@ -60,6 +60,7 @@ class OpenAIWhisperModel:
             no_speech_threshold=no_speech_threshold,
             condition_on_previous_text=condition_on_previous_text,
             beam_size=beam_size or 1,
+            task=task,
         )
         seg_dicts = [
             {

@@ -150,12 +150,17 @@ class WhisperEngine:
 
     def _make_opts(self, **over) -> DecodeOptions:
         t = self.tokenizer
+        try:
+            blank = t.encode(" ")[0]
+        except Exception:
+            blank = 220
         kw = dict(
             eot=t.eot,
             sot=t.sot,
             no_speech=t.no_speech,
             no_timestamps=t.no_timestamps,
             timestamp_begin=t.timestamp_begin,
+            blank_token=blank,
         )
         kw.update(over)
         return DecodeOptions(**kw)
@@ -237,11 +242,12 @@ class WhisperEngine:
         sync: bool = True,
         beam_size: int = 1,
         max_new_tokens: Optional[int] = None,
+        task: str = "transcribe",
     ):
         b = feats.shape[0]
         sot_seq = self.tokenizer.sot_sequence(
             language if self.multilingual else None,
-            "transcribe",
+            task,
             without_timestamps=without_timestamps,
         )
         # conditioning block must leave room for the prompt and a
@@ -348,6 +354,7 @@ class WhisperEngine:
         min_new_tokens: int = 0,
         max_new_tokens: Optional[int] = None,
         beam_size: int = 1,
+        task: str = "transcribe",
     ) -> Tuple[List[Segment], TranscriptionInfo]:
         duration = len(audio) / SAMPLE_RATE
         if use_vad:
@@ -398,6 +405,7 @@ class WhisperEngine:
                 feats, language, suppress_mask, without_timestamps, 0.0,
                 min_new_tokens=min_new_tokens, sync=False,
                 beam_size=beam_size, max_new_tokens=max_new_tokens,
+                task=task,
             )
             pending.append((batch, out))
 
@@ -451,6 +459,7 @@ class WhisperEngine:
         condition_on_previous_text: bool = True,
         without_timestamps: bool = False,
         beam_size: int = 1,
+        task: str = "transcribe",
     ) -> Tuple[List[Segment], TranscriptionInfo]:
         duration = len(audio) / SAMPLE_RATE
         time_map = None  # [(concat_start_s, orig_start_s, dur_s)]
@@ -512,6 +521,7 @@ class WhisperEngine:
                         rng_seed=seek + ti,
                         previous_tokens=previous,
                         beam_size=beam_size,
+                        task=task,
                     )
                 )
                 toks = tokens[0, n_prompt : n_prompt + lengths[0]].tolist()
