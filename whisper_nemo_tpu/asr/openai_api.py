@@ -44,6 +44,7 @@ class OpenAIWhisperModel:
         temperature: Union[float, Sequence[float]] = (
             0.0, 0.2, 0.4, 0.6, 0.8, 1.0,
         ),
+        word_timestamps: bool = False,
         verbose: Optional[bool] = None,
         **_ignored,
     ) -> dict:
@@ -62,6 +63,12 @@ class OpenAIWhisperModel:
             beam_size=beam_size or 1,
             task=task,
         )
+        if word_timestamps:
+            from .faster_whisper_api import _attach_word_timestamps
+
+            _attach_word_timestamps(
+                segments, np.asarray(audio, np.float32), info.language
+            )
         seg_dicts = [
             {
                 "id": s.id,
@@ -74,6 +81,21 @@ class OpenAIWhisperModel:
                 "avg_logprob": s.avg_logprob,
                 "compression_ratio": s.compression_ratio,
                 "no_speech_prob": s.no_speech_prob,
+                **(
+                    {
+                        "words": [
+                            {
+                                "word": w.word,
+                                "start": w.start,
+                                "end": w.end,
+                                "probability": w.probability,
+                            }
+                            for w in (s.words or [])
+                        ]
+                    }
+                    if word_timestamps
+                    else {}
+                ),
             }
             for s in segments
         ]

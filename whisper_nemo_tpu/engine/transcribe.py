@@ -207,11 +207,15 @@ class WhisperEngine:
             )
         return self._encode_cached
 
-    def detect_language(self, audio: np.ndarray) -> Tuple[str, float]:
+    def detect_language(
+        self, audio: np.ndarray, return_all: bool = False
+    ):
         """Language ID from the first 30 s window (contract: the
-        ``info.language`` field consumed at reference diarize.py:173)."""
+        ``info.language`` field consumed at reference diarize.py:173).
+        With ``return_all``, also returns the full (code, prob) list
+        sorted by probability (faster-whisper's all_language_probs)."""
         if not self.multilingual:
-            return "en", 1.0
+            return ("en", 1.0, [("en", 1.0)]) if return_all else ("en", 1.0)
         mel = self.mel_window(audio)[None]
         feats = self.encode_windows(mel)
         idx, probs = detect_language(
@@ -225,7 +229,13 @@ class WhisperEngine:
         )
         codes = list(LANGUAGES.keys())[: self.tokenizer.layout.n_languages]
         i = int(np.asarray(idx)[0])
-        return codes[i], float(np.asarray(probs)[0, i])
+        if not return_all:
+            return codes[i], float(np.asarray(probs)[0, i])
+        p = np.asarray(probs)[0]
+        ranked = sorted(
+            zip(codes, p.tolist()), key=lambda cp: -cp[1]
+        )
+        return codes[i], float(p[i]), ranked
 
     PREV_BLOCK = 65  # fixed slots for <|startofprev|> + conditioning tail
 
@@ -369,9 +379,10 @@ class WhisperEngine:
             (w[1] - w[0]) for w in windows
         ) / SAMPLE_RATE
 
+        all_lang_probs = None
         if language is None:
-            language, lang_prob = self.detect_language(
-                audio[windows[0][0] : windows[0][1]]
+            language, lang_prob, all_lang_probs = self.detect_language(
+                audio[windows[0][0] : windows[0][1]], return_all=True
             )
         else:
             lang_prob = 1.0
@@ -442,6 +453,7 @@ class WhisperEngine:
             language_probability=lang_prob,
             duration=duration,
             duration_after_vad=duration_after_vad,
+            all_language_probs=all_lang_probs,
         )
         return segments, info
 
@@ -480,8 +492,11 @@ class WhisperEngine:
                 audio = keep
         duration_after_vad = len(audio) / SAMPLE_RATE
 
+        all_lang_probs = None
         if language is None:
-            language, lang_prob = self.detect_language(audio)
+            language, lang_prob, all_lang_probs = self.detect_language(
+                audio, return_all=True
+            )
         else:
             lang_prob = 1.0
 
@@ -591,6 +606,7 @@ class WhisperEngine:
             language_probability=lang_prob,
             duration=duration,
             duration_after_vad=duration_after_vad,
+            all_language_probs=all_lang_probs,
         )
         return segments, info
 
