@@ -86,3 +86,16 @@ def test_separate_vocals_with_checkpoint(tmp_path, monkeypatch, small_demucs):
 
 
 
+
+
+def test_time_branch_shapes(small_demucs):
+    from whisper_nemo_tpu.models.demucs import time_branch
+
+    params, dims = small_demucs
+    t = dims.time_stride ** dims.time_depth * 50
+    wave = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, t)), jnp.float32
+    )
+    out = np.asarray(time_branch(params["time"], wave, dims))
+    assert out.shape == (2, t)
+    assert np.abs(out).max() <= 1.0  # tanh-bounded

@@ -42,6 +42,13 @@ class DemucsDims:
     freq_stride: int = 4
     bottleneck_heads: int = 4
     bottleneck_layers: int = 2
+    # hybrid time-domain branch (htdemucs' second branch): a strided
+    # conv1d U-Net over the raw waveform whose output adds to the
+    # spectrogram branch's re-synthesis
+    time_channels: int = 32
+    time_depth: int = 4
+    time_stride: int = 4
+    time_kernel: int = 8
 
     @property
     def n_freqs(self) -> int:
@@ -148,6 +155,57 @@ def _bottleneck_attention(p, x, n_heads):
     return h.reshape(b, t, f, c).transpose(0, 2, 1, 3)
 
 
+def _conv1d_strided(p, x, stride: int, kernel: int):
+    """[B, T, C] strided conv, exact T/stride output."""
+    total = kernel - stride
+    pads = (total // 2, total - total // 2)
+    return (
+        jax.lax.conv_general_dilated(
+            x,
+            p["w"].astype(x.dtype),
+            window_strides=(stride,),
+            padding=(pads,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + p["b"]
+    )
+
+
+def _conv1d_transpose(p, x, stride: int):
+    y = jax.lax.conv_transpose(
+        x,
+        p["w"].astype(x.dtype),
+        strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    target = x.shape[1] * stride
+    lo = (y.shape[1] - target) // 2
+    return y[:, lo : lo + target] + p["b"]
+
+
+def time_branch(params: Dict[str, Any], wave: jnp.ndarray, dims: DemucsDims):
+    """Raw waveform [B, T] → additive vocal correction [B, T].
+
+    The hybrid second branch: strided conv1d encoder with GELU, skip-
+    connected transpose-conv decoder, tanh-bounded output so the
+    correction can't blow past the input scale.
+    """
+    x = wave[:, :, None]
+    skips = []
+    for enc in params["encoder"]:
+        x = jax.nn.gelu(
+            _conv1d_strided(enc, x, dims.time_stride, dims.time_kernel)
+        )
+        skips.append(x)
+    for dec, skip in zip(params["decoder"], reversed(skips)):
+        x = jax.nn.gelu(_conv1d_transpose(dec, x + skip, dims.time_stride))
+    out = _conv1d_strided(params["head"], x, 1, 1)[..., 0]
+    return jnp.tanh(out)
+
+
 def vocal_mask(params: Dict[str, Any], mag: jnp.ndarray, dims: DemucsDims):
     """Magnitude [B, F, T] → sigmoid vocal mask [B, F, T]."""
     x = jnp.log1p(mag)[..., None]  # [B, F, T, 1]
@@ -208,11 +266,35 @@ def init_demucs_params(key, dims: DemucsDims) -> Dict[str, Any]:
     for i in range(dims.depth - 1, -1, -1):
         c_out = cs[i - 1] if i > 0 else dims.channels
         decoder.append(conv(dims.freq_stride * 2, 3, cs[i], c_out))
+
+    def conv1(k, c_in, c_out):
+        return {
+            "w": jax.random.normal(next(keys), (k, c_in, c_out))
+            / np.sqrt(k * c_in),
+            "b": jnp.zeros((c_out,)),
+        }
+
+    t_enc, c_in = [], 1
+    tc = dims.time_channels
+    for _ in range(dims.time_depth):
+        t_enc.append(conv1(dims.time_kernel, c_in, tc))
+        c_in = tc
+        tc = min(2 * tc, 256)
+    t_dec = []
+    tcs = [e["w"].shape[-1] for e in t_enc]
+    for i in range(dims.time_depth - 1, -1, -1):
+        c_out = tcs[i - 1] if i > 0 else dims.time_channels
+        t_dec.append(conv1(dims.time_kernel, tcs[i], c_out))
     return {
         "encoder": encoder,
         "bottleneck": {"layers": layers},
         "decoder": decoder,
         "head": conv(1, 1, dims.channels, 1),
+        "time": {
+            "encoder": t_enc,
+            "decoder": t_dec,
+            "head": conv1(1, dims.time_channels, 1),
+        },
     }
 
 
@@ -234,13 +316,23 @@ def separate_waveform(
     @jax.jit
     def run_segment(w):
         spec = stft(w)
-        mag = jnp.abs(spec)[: , : dims.n_freqs]
-        mask = vocal_mask(params, mag.T[None], dims)[0].T  # [F', T]->[T,F']?
+        mag = jnp.abs(spec)[:, : dims.n_freqs]
+        mask = vocal_mask(params, mag.T[None], dims)[0].T  # [T, F']
         full_mask = jnp.concatenate(
             [mask, jnp.ones((mask.shape[0], spec.shape[1] - dims.n_freqs))],
             axis=1,
         )
-        return istft(spec * full_mask, w.shape[0])
+        spectral = istft(spec * full_mask, w.shape[0])
+        if "time" in params:
+            # hybrid: the time branch adds a waveform-domain correction
+            t_len = (w.shape[0] // dims.time_stride**dims.time_depth) * (
+                dims.time_stride**dims.time_depth
+            )
+            correction = time_branch(
+                params["time"], w[None, :t_len], dims
+            )[0]
+            spectral = spectral.at[:t_len].add(0.1 * correction)
+        return spectral
 
     for start in range(0, len(wave), hop):
         chunk = wave[start : start + seg]
