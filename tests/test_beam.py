@@ -84,3 +84,26 @@ def test_beam_tokens_shape_and_eot(setup):
     # prompt preserved in output
     np.testing.assert_array_equal(bt[:, :4], np.asarray(prompt))
     assert (np.asarray(bn) >= 0).all() and (np.asarray(bn) <= 1).all()
+
+
+def test_beam_with_conditioning_prefix(setup):
+    """Beam + left-padded conditioning: empty prefix must reproduce the
+    unconditioned beam on a long token prefix (mask/offset machinery)."""
+    params, dims, feats, prompt, opts, mask = setup
+    b = int(feats.shape[0])
+    bt0, bl0, *_ = beam_decode(
+        params, feats, prompt, mask, dims, opts, n_prompt=4, beam_size=3
+    )
+    # all-invalid 8-slot prefix ahead of the same prompt
+    pad = jnp.full((b, 8), 50257, jnp.int32)
+    prompt_padded = jnp.concatenate([pad, prompt], axis=1)
+    valid = jnp.concatenate(
+        [jnp.zeros((b, 8), bool), jnp.ones((b, 4), bool)], axis=1
+    )
+    bt1, bl1, *_ = beam_decode(
+        params, feats, prompt_padded, mask, dims, opts, n_prompt=12,
+        beam_size=3, prompt_valid=valid,
+    )
+    g0 = np.asarray(bt0)[:, 4:10]
+    g1 = np.asarray(bt1)[:, 12:18]
+    np.testing.assert_array_equal(g0, g1)

@@ -303,6 +303,7 @@ def beam_decode(
     length_penalty: float = 1.0,
     dtype=jnp.float32,
     kv_int8: bool = False,
+    prompt_valid: Optional[jnp.ndarray] = None,  # [B, n_prompt] bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched beam search (the faster-whisper/CT2 default decode mode,
     beam_size=5). Returns (tokens [B, L], lengths [B], sum_logprob [B],
@@ -312,6 +313,8 @@ def beam_decode(
     KV cache is gathered along that axis on every reindex. Finished
     beams hold their score and keep emitting EOT. Final selection uses
     GNMT-style length normalization score = logprob / len^alpha.
+    ``prompt_valid`` supports the left-padded conditioning prefix (same
+    masking + position-offset scheme as the greedy loop).
     """
     b = audio_features.shape[0]
     k = beam_size
@@ -347,6 +350,17 @@ def beam_decode(
     tokens = jax.lax.dynamic_update_slice(
         tokens, expand(prompt.astype(jnp.int32)), (0, 0)
     )
+
+    if prompt_valid is None:
+        kv_valid = None
+        pos_offset = None
+    else:
+        pv = expand(prompt_valid.astype(bool))
+        kv_valid = jnp.concatenate(
+            [pv, jnp.ones((bk, cache_len - n_prompt), bool)], axis=1
+        )
+        pos_offset = jnp.sum(~pv, axis=1).astype(jnp.int32)
+
     # only beam 0 starts alive; the rest start at -inf so the first
     # expansion fans out from a single hypothesis
     beam_scores = jnp.tile(
@@ -363,7 +377,8 @@ def beam_decode(
         (pos, tokens, cache, finished, beam_scores, no_speech) = state
         cur = tokens[jnp.arange(bk), pos - 1]
         logits, new_cache = decode_step(
-            params, cur, pos - 1, cache, cross_kv, dims, dtype
+            params, cur, pos - 1, cache, cross_kv, dims, dtype,
+            kv_valid=kv_valid, pos_offset=pos_offset,
         )  # [BK, V]
 
         probs_all = jax.nn.softmax(logits, axis=-1)

@@ -306,26 +306,21 @@ class WhisperEngine:
                 )
             )
         if beam_size > 1 and temperature == 0.0:
-            # beam search (conditioning prefixes not combined with beams
-            # yet: the padded-prompt machinery stays on the greedy path)
             from .decode import beam_decode
 
             tokens, length, sum_logprob, no_speech = beam_decode(
                 self.params,
                 feats,
-                prompt_arr if prompt_valid is None else jnp.tile(
-                    jnp.asarray(sot_seq, jnp.int32)[None], (b, 1)
-                ),
+                prompt_arr,
                 jnp.asarray(suppress_mask),
                 self.dims,
                 opts,
-                n_prompt=len(sot_seq) if prompt_valid is not None else n_prompt,
+                n_prompt=n_prompt,
                 beam_size=beam_size,
                 dtype=self.dtype,
                 kv_int8=self.kv_int8,
+                prompt_valid=prompt_valid,
             )
-            if prompt_valid is not None:
-                n_prompt = len(sot_seq)
         else:
             tokens, length, sum_logprob, no_speech = greedy_decode(
                 self.params,
