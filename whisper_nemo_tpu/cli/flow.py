@@ -110,6 +110,20 @@ def build_arg_parser(parallel: bool = False) -> argparse.ArgumentParser:
         choices=["telephonic", "meeting", "general"],
         help="diarizer domain preset (the reference hardcodes telephonic)",
     )
+    parser.add_argument(
+        "--num-speakers",
+        type=int,
+        dest="num_speakers",
+        default=None,
+        help="force an exact speaker count (default: estimate)",
+    )
+    parser.add_argument(
+        "--max-speakers",
+        type=int,
+        dest="max_speakers",
+        default=None,
+        help="cap the estimated speaker count",
+    )
     if parallel:
         parser.add_argument(
             "--subprocess-diarization",
@@ -234,16 +248,31 @@ def run_alignment(
 
 
 def run_diarization(
-    audio: np.ndarray, temp_path: str, domain: str = "telephonic"
+    audio: np.ndarray,
+    temp_path: str,
+    domain: str = "telephonic",
+    num_speakers: Optional[int] = None,
+    max_speakers: Optional[int] = None,
 ) -> List[List[int]]:
     """Diarization branch (reference diarize.py:186-216): mono wav
-    handoff, NeuralDiarizer, RTTM parse back."""
+    handoff, NeuralDiarizer, RTTM parse back. The optional speaker-count
+    knobs expose the pyannote-path contract (main.py:144-161) on the
+    CLI."""
     from ..diarize import NeuralDiarizer, read_speaker_timestamps
+    from ..diarize.rttm import write_rttm
 
     os.makedirs(temp_path, exist_ok=True)
     write_wav(os.path.join(temp_path, "mono_file.wav"), audio)
     diarizer = NeuralDiarizer(cfg=create_config(temp_path, domain))
-    diarizer.diarize()
+    if num_speakers is None and max_speakers is None:
+        diarizer.diarize()
+    else:
+        turns = diarizer.diarize_waveform(
+            audio, num_speakers=num_speakers, max_speakers=max_speakers
+        )
+        out_dir = os.path.join(temp_path, "pred_rttms")
+        os.makedirs(out_dir, exist_ok=True)
+        write_rttm(os.path.join(out_dir, "mono_file.rttm"), turns)
     rttm = os.path.join(temp_path, "pred_rttms", "mono_file.rttm")
     return read_speaker_timestamps(rttm)
 
@@ -316,7 +345,11 @@ def run_sequential(args) -> None:
             args.batch_size, args.device, timed_segments=asr.segments,
         )
     with stage_timer("diarization", logger):
-        speaker_ts = run_diarization(asr.audio, temp_path, args.domain)
+        speaker_ts = run_diarization(
+            asr.audio, temp_path, args.domain,
+            num_speakers=getattr(args, "num_speakers", None),
+            max_speakers=getattr(args, "max_speakers", None),
+        )
 
     _merge_and_write(word_timestamps, speaker_ts, asr.language, args.audio)
     cleanup(temp_path)
@@ -373,7 +406,9 @@ def run_parallel(args) -> None:
         def diar_branch():
             try:
                 diar_result["speaker_ts"] = run_diarization(
-                    audio, temp_path, args.domain
+                    audio, temp_path, args.domain,
+                    num_speakers=getattr(args, "num_speakers", None),
+                    max_speakers=getattr(args, "max_speakers", None),
                 )
             except Exception as exc:  # surfaced at join, like rc!=0
                 diar_error.append(exc)
