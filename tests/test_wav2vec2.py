@@ -70,3 +70,38 @@ def test_init_and_forward_shapes():
     out = ctc_logits(params, jnp.zeros((1, 3200)), dims)
     assert out.shape[0] == 1 and out.shape[2] == 40
     assert dims.total_stride == 10
+
+
+def test_ctc_logits_parity_stable_layer_norm():
+    """MMS/large layout: pre-LN encoder + per-conv-layer LayerNorm."""
+    import torch
+    from transformers import Wav2Vec2Config, Wav2Vec2ForCTC
+
+    torch.manual_seed(1)
+    cfg = Wav2Vec2Config(
+        vocab_size=32,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        conv_dim=(32, 32),
+        conv_kernel=(10, 3),
+        conv_stride=(5, 2),
+        num_feat_extract_layers=2,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=True,
+        feat_extract_norm="layer",
+        conv_bias=True,
+    )
+    model = Wav2Vec2ForCTC(cfg).eval()
+    dims = dims_from_hf_wav2vec2_config(cfg)
+    assert dims.do_stable_layer_norm
+    params = convert_hf_wav2vec2_state_dict(model.state_dict(), dims)
+    wave = np.random.default_rng(1).standard_normal((2, 4000)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(wave)).logits.numpy()
+    ours = np.asarray(ctc_logits(params, jnp.asarray(wave), dims))
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)

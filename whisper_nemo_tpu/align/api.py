@@ -114,13 +114,15 @@ def load_alignment_model(
         )
     else:
         # MMS-300M-scale acoustic model (the reference aligner's size,
-        # SURVEY D4): 24-layer / 1024-wide wav2vec2
+        # SURVEY D4): 24-layer / 1024-wide wav2vec2 in the large/MMS
+        # layout (pre-LN encoder, per-conv-layer LayerNorm)
         dims = Wav2Vec2Dims(
             vocab_size=vocab_size,
             hidden_size=1024,
             num_layers=24,
             num_heads=16,
             intermediate_size=4096,
+            do_stable_layer_norm=True,
         )
     ckpt = os.path.join(model_cache_dir(), "ctc_aligner.npz")
     if os.path.exists(ckpt):

@@ -34,6 +34,9 @@ class Wav2Vec2Dims:
     conv_stride: Sequence[int] = (5, 2, 2, 2, 2, 2, 2)
     num_conv_pos_embeddings: int = 128
     num_conv_pos_embedding_groups: int = 16
+    # large/MMS variant: pre-LN transformer + per-conv-layer LayerNorm
+    # (HF do_stable_layer_norm=True, feat_extract_norm="layer")
+    do_stable_layer_norm: bool = False
 
     @property
     def total_stride(self) -> int:
@@ -76,7 +79,12 @@ def feature_extractor(params, wave: jnp.ndarray, dims: Wav2Vec2Dims):
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
-        if i == 0 and "gn_g" in layer:
+        if "cb" in layer:
+            x = x + layer["cb"]
+        if "ln" in layer:
+            # per-layer LayerNorm over channels (feat_extract_norm="layer")
+            x = _ln(layer["ln"], x)
+        elif i == 0 and "gn_g" in layer:
             # group norm with groups == channels (HF uses num_groups=out_dim)
             x32 = x.astype(jnp.float32)
             mu = jnp.mean(x32, axis=1, keepdims=True)
@@ -124,10 +132,24 @@ def _mha(p, x, n_heads):
 
 
 def encoder(params, feats: jnp.ndarray, dims: Wav2Vec2Dims):
-    """Feature projection + transformer encoder (post-LN variant)."""
+    """Feature projection + transformer encoder.
+
+    Post-LN ("base") by default; pre-LN ("stable layer norm", the
+    MMS/large layout) when ``dims.do_stable_layer_norm``: norms precede
+    the sublayers and one final encoder norm closes the stack."""
     x = _ln(params["proj_ln"], feats)
     x = _linear(params["proj"], x)
     x = x + _conv_pos_embedding(params["pos_conv"], x, dims)
+    if dims.do_stable_layer_norm:
+        for blk in params["layers"]:
+            x = x + _mha(blk["attn"], _ln(blk["attn_ln"], x), dims.num_heads)
+            h = _ln(blk["ff_ln"], x)
+            h = _linear(
+                blk["ff_out"],
+                jax.nn.gelu(_linear(blk["ff_in"], h), approximate=False),
+            )
+            x = x + h
+        return _ln(params["enc_ln"], x)
     x = _ln(params["enc_ln"], x)
     for blk in params["layers"]:
         x = _ln(blk["attn_ln"], x + _mha(blk["attn"], x, dims.num_heads))
@@ -242,12 +264,20 @@ def convert_hf_wav2vec2_state_dict(
                 sd[f"{pre}feature_extractor.conv_layers.{i}.conv.weight"]
             ).transpose(2, 1, 0)
         }
+        bkey = f"{pre}feature_extractor.conv_layers.{i}.conv.bias"
+        if bkey in sd:
+            layer["cb"] = _t(sd[bkey])
         gkey = f"{pre}feature_extractor.conv_layers.{i}.layer_norm.weight"
         if gkey in sd:
-            layer["gn_g"] = _t(sd[gkey])
-            layer["gn_b"] = _t(
+            g = _t(sd[gkey])
+            b = _t(
                 sd[f"{pre}feature_extractor.conv_layers.{i}.layer_norm.bias"]
             )
+            if dims.do_stable_layer_norm:
+                layer["ln"] = {"g": g, "b": b}
+            else:
+                layer["gn_g"] = g
+                layer["gn_b"] = b
         conv_layers.append(layer)
 
     def lin(prefix):
@@ -320,4 +350,5 @@ def dims_from_hf_wav2vec2_config(cfg) -> Wav2Vec2Dims:
         conv_stride=tuple(cfg.conv_stride),
         num_conv_pos_embeddings=cfg.num_conv_pos_embeddings,
         num_conv_pos_embedding_groups=cfg.num_conv_pos_embedding_groups,
+        do_stable_layer_norm=getattr(cfg, "do_stable_layer_norm", False),
     )
