@@ -108,3 +108,38 @@ def test_nmesc_search_returns_valid_p():
     p, n_spk = nmesc_search(aff, 8, 0.25, 10)
     assert 1 <= p <= len(aff) * 0.25 + 1
     assert n_spk == 2
+
+
+def test_nystrom_path_recovers_speakers():
+    """Above the Nyström threshold the approximate spectral embedding
+    must still recover speakers near-perfectly."""
+    import whisper_nemo_tpu.diarize.clustering as cl
+
+    embs, true = _gaussian_speakers(1200, 3, seed=11)  # 3600 segments
+    old = cl._NYSTROM_THRESHOLD
+    cl._NYSTROM_THRESHOLD = 1000  # force the Nyström path
+    try:
+        pred = nme_spectral_clustering(embs, num_speakers=3)
+    finally:
+        cl._NYSTROM_THRESHOLD = old
+    assert len(np.unique(pred)) == 3
+    assert _clustering_accuracy(pred, true) > 0.95
+
+
+def test_nystrom_matches_exact_on_moderate_n():
+    import whisper_nemo_tpu.diarize.clustering as cl
+
+    embs, true = _gaussian_speakers(200, 2, seed=12)
+    exact = nme_spectral_clustering(embs, num_speakers=2)
+    old = cl._NYSTROM_THRESHOLD
+    cl._NYSTROM_THRESHOLD = 100
+    try:
+        approx = nme_spectral_clustering(embs, num_speakers=2)
+    finally:
+        cl._NYSTROM_THRESHOLD = old
+    assert _clustering_accuracy(approx, true) > 0.95
+    # same partition up to label permutation
+    agree = max(
+        (approx == exact).mean(), (approx == 1 - exact).mean()
+    )
+    assert agree > 0.95

@@ -165,13 +165,53 @@ def _kmeans(
 def spectral_cluster(
     affinity_bin: np.ndarray, n_speakers: int, seed: int = 0
 ) -> np.ndarray:
-    """Rows of the k smallest-eigenvalue eigenvectors, k-means'd."""
-    lap = laplacian(affinity_bin)
-    _, evecs = eigen_decompose(lap)
-    embedding = evecs[:, :n_speakers]
+    """Rows of the k smallest-eigenvalue eigenvectors, k-means'd.
+
+    Past ``_NYSTROM_THRESHOLD`` segments the spectral embedding comes
+    from a Nyström extension instead of a full O(n³) eigh."""
+    n = affinity_bin.shape[0]
+    if n > _NYSTROM_THRESHOLD:
+        embedding = _nystrom_embedding(affinity_bin, n_speakers, seed)
+    else:
+        lap = laplacian(affinity_bin)
+        _, evecs = eigen_decompose(lap)
+        embedding = evecs[:, :n_speakers]
     norms = np.linalg.norm(embedding, axis=1, keepdims=True)
     embedding = embedding / np.maximum(norms, 1e-8)
     return _kmeans(embedding, n_speakers, seed)
+
+
+_NYSTROM_THRESHOLD = 4096
+
+
+def _nystrom_embedding(
+    affinity: np.ndarray, k: int, seed: int = 0, n_anchors: int = 1024
+) -> np.ndarray:
+    """Approximate spectral embedding via Nyström extension.
+
+    Eigen-decompose the normalized affinity on an evenly strided anchor
+    subset and extend the eigenvectors to every point through the
+    anchor-to-all affinity block: O(n·m + m³) instead of O(n³). Uses
+    the normalized-affinity formulation (top eigenvectors of D^-1/2 A
+    D^-1/2 ≡ smallest of the normalized Laplacian), which Nyström
+    approximates directly.
+    """
+    n = affinity.shape[0]
+    m = min(n_anchors, n)
+    idx = np.linspace(0, n - 1, m).astype(int)
+
+    deg = np.maximum(affinity.sum(axis=1), 1e-8)
+    d_inv_sqrt = 1.0 / np.sqrt(deg)
+    # normalized affinity blocks
+    c = (affinity[:, idx] * d_inv_sqrt[:, None]) * d_inv_sqrt[idx][None, :]
+    w = c[idx]  # [m, m]
+
+    evals, evecs = np.linalg.eigh(w.astype(np.float64))
+    # top-k eigenpairs of the normalized affinity (largest eigenvalues)
+    order = np.argsort(-evals)[:k]
+    lam = np.maximum(evals[order], 1e-8)
+    u = evecs[:, order]
+    return (c @ (u / lam[None, :])).astype(np.float32)
 
 
 def nme_spectral_clustering(
