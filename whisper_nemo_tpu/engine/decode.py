@@ -163,15 +163,31 @@ def greedy_decode(
     b = audio_features.shape[0]
     max_len = n_prompt + opts.max_new_tokens
     audio = audio_features.astype(dtype)
-    cross_kv = cross_attention_kv(params, audio, dims)
-    if kv_int8:
-        # halve the decode loop's dominant HBM stream (the full encoder
-        # K/V is read every step)
-        cross_kv = quantize_cross_kv(cross_kv)
-    # right-size the cache to the decode budget (rounded to the lane
-    # tile): per-step attention cost scales with cache length
+    # layer-stacked params (engine pre-stacks them) compile one scan
+    # body instead of n_text_layer unrolled layer graphs
+    stacked = "blocks_stacked" in params["decoder"]
     cache_len = min(dims.n_text_ctx, -(-max_len // 128) * 128)
-    cache = init_kv_cache(b, dims, dtype, cache_len=cache_len)
+    if stacked:
+        from ..models.whisper_stacked import (
+            cross_attention_kv_stacked,
+            decode_step_stacked,
+            init_stacked_cache,
+            quantize_cross_kv_stacked,
+        )
+
+        cross_kv = cross_attention_kv_stacked(params, audio, dims)
+        if kv_int8:
+            cross_kv = quantize_cross_kv_stacked(cross_kv)
+        cache = init_stacked_cache(b, dims, dtype, cache_len=cache_len)
+        step_fn = decode_step_stacked
+    else:
+        cross_kv = cross_attention_kv(params, audio, dims)
+        if kv_int8:
+            # halve the decode loop's dominant HBM stream (the full
+            # encoder K/V is read every step)
+            cross_kv = quantize_cross_kv(cross_kv)
+        cache = init_kv_cache(b, dims, dtype, cache_len=cache_len)
+        step_fn = decode_step
 
     tokens = jnp.zeros((b, max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
@@ -206,7 +222,7 @@ def greedy_decode(
     def body(state):
         (pos, tokens, cache, finished, sum_logprob, length, no_speech, rng) = state
         cur = tokens[jnp.arange(b), pos - 1]
-        logits, cache = decode_step(
+        logits, cache = step_fn(
             params, cur, pos - 1, cache, cross_kv, dims, dtype,
             kv_valid=kv_valid, pos_offset=pos_offset,
         )  # logits for position pos

@@ -146,6 +146,16 @@ class WhisperEngine:
                     multilingual=self.multilingual, n_languages=n_langs
                 )
         self.tokenizer = tokenizer
+        # pre-stack decoder layers: the greedy decode loop compiles one
+        # scan body instead of n_text_layer unrolled layer graphs
+        if isinstance(self.params, dict) and "decoder" in self.params and (
+            "blocks" in self.params["decoder"]
+        ):
+            from ..models.whisper_stacked import stack_decoder_blocks
+
+            self._params_stacked = stack_decoder_blocks(self.params)
+        else:
+            self._params_stacked = None
         self._opts_base = self._make_opts()
 
     def _make_opts(self, **over) -> DecodeOptions:
@@ -173,13 +183,15 @@ class WhisperEngine:
         diarize.py:150-151): parameters are deleted (donating their HBM
         back to the allocator) and cached jits dropped so the next
         stage can claim the memory."""
-        for leaf in jax.tree_util.tree_leaves(self.params):
-            if hasattr(leaf, "delete"):
-                try:
-                    leaf.delete()
-                except Exception:
-                    pass
+        for tree in (self.params, getattr(self, "_params_stacked", None)):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                if hasattr(leaf, "delete"):
+                    try:
+                        leaf.delete()
+                    except Exception:
+                        pass
         self.params = None
+        self._params_stacked = None
         if hasattr(self, "_encode_cached"):
             del self._encode_cached
         import gc
@@ -322,8 +334,13 @@ class WhisperEngine:
                 prompt_valid=prompt_valid,
             )
         else:
+            decode_params = (
+                self._params_stacked
+                if self._params_stacked is not None
+                else self.params
+            )
             tokens, length, sum_logprob, no_speech = greedy_decode(
-                self.params,
+                decode_params,
                 feats,
                 prompt_arr,
                 jnp.asarray(suppress_mask),

@@ -1,0 +1,184 @@
+"""Layer-stacked decoder: scan over layers for fast compilation.
+
+The canonical decoder (models/whisper.py) unrolls its layers in the
+trace, so XLA compiles 24 copies of the layer graph (~minutes for
+medium on the remote-compile path). Here the per-layer parameter blocks
+stack along a leading axis and a single ``lax.scan`` body serves every
+layer: one layer graph to compile, identical numerics. The stacked form
+is derived from the canonical tree (``stack_decoder_blocks``) so
+checkpoints and parity tests stay in one layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .whisper import (
+    WhisperDims,
+    _layer_norm,
+    _linear,
+    _mlp,
+    _split_heads,
+    _attention,
+    _vocab_logits,
+)
+
+
+def stack_decoder_blocks(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Per-layer decoder block dicts → one dict with [n_layers]-leading
+    leaves (plus the unstacked embeddings/final norm)."""
+    blocks = params["decoder"]["blocks"]
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *blocks
+    )
+    out = dict(params["decoder"])
+    out["blocks_stacked"] = stacked
+    out.pop("blocks")
+    return {"encoder": params["encoder"], "decoder": out}
+
+
+def stack_cross_kv(cross_kv: List[dict]) -> dict:
+    """List of per-layer cross-KV dicts → stacked leading axis."""
+    return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *cross_kv)
+
+
+def cross_attention_kv_stacked(
+    params: Dict[str, Any], audio: jnp.ndarray, dims: WhisperDims
+) -> dict:
+    """Cross-attention K/V for all layers in one einsum each:
+    [L, B, T, H, Dh] stacked arrays."""
+    ca = params["decoder"]["blocks_stacked"]["cross_attn"]
+    b, t, _ = audio.shape
+    h = dims.n_text_head
+    hd = dims.n_text_state // h
+
+    def proj(p):
+        if "w_q" in p:  # int8 weight-quantized linears
+            y = jnp.einsum(
+                "btd,lde->lbte", audio, p["w_q"].astype(audio.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(audio.dtype) * p["scale"][:, None, None, :].astype(
+                audio.dtype
+            )
+        else:
+            y = jnp.einsum(
+                "btd,lde->lbte", audio, p["w"].astype(audio.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(audio.dtype)
+        if "b" in p:
+            y = y + p["b"][:, None, None, :]
+        return y.reshape(-1, b, t, h, hd)
+
+    return {"k": proj(ca["k"]), "v": proj(ca["v"])}
+
+
+def quantize_cross_kv_stacked(cross_kv: dict) -> dict:
+    """int8 quantization of stacked cross-KV (per layer/head/channel
+    scales; same scheme as models.whisper.quantize_cross_kv)."""
+    out = {}
+    for name in ("k", "v"):
+        x = cross_kv[name].astype(jnp.float32)  # [L, B, T, H, D]
+        amax = jnp.max(jnp.abs(x), axis=(1, 2))  # [L, H, D]
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(
+            jnp.round(x / scale[:, None, None]), -127, 127
+        ).astype(jnp.int8)
+        out[f"{name}_q"] = q
+        out[f"{name}_scale"] = scale.astype(jnp.float32)
+    return out
+
+
+def init_stacked_cache(
+    batch: int, dims: WhisperDims, dtype=jnp.float32,
+    cache_len: Optional[int] = None,
+) -> dict:
+    h = dims.n_text_head
+    hd = dims.n_text_state // h
+    t = cache_len or dims.n_text_ctx
+    return {
+        "k": jnp.zeros((dims.n_text_layer, batch, t, h, hd), dtype),
+        "v": jnp.zeros((dims.n_text_layer, batch, t, h, hd), dtype),
+    }
+
+
+def decode_step_stacked(
+    params: Dict[str, Any],  # stacked form (stack_decoder_blocks output)
+    token: jnp.ndarray,  # [B]
+    pos: jnp.ndarray,  # scalar int32
+    cache: dict,  # stacked cache
+    cross_kv: dict,  # stacked cross-KV
+    dims: WhisperDims,
+    dtype=jnp.float32,
+    kv_valid: Optional[jnp.ndarray] = None,
+    pos_offset: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, dict]:
+    """Numerically identical to models.whisper.decode_step, with the
+    layer loop as a lax.scan over stacked params."""
+    dec = params["decoder"]
+    b = token.shape[0]
+    cache_len = cache["k"].shape[2]
+    if pos_offset is None:
+        pos_emb = dec["pos_emb"][pos]
+    else:
+        pos_emb = dec["pos_emb"][jnp.maximum(pos - pos_offset, 0)]
+    x = (dec["tok_emb"][token] + pos_emb).astype(dtype)[:, None, :]
+
+    positions = jnp.arange(cache_len)
+    visible = positions <= pos
+    if kv_valid is not None:
+        visible = visible[None, :] & kv_valid
+        mask = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[
+            :, None, None, :
+        ]
+    else:
+        mask = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[
+            None, None, None, :
+        ]
+
+    quantized = "k_q" in cross_kv
+
+    def layer(x, scanned):
+        blk, kv_k, kv_v, ckv = scanned
+        xn = _layer_norm(blk["ln1"], x)
+        q = _split_heads(_linear(blk["attn"]["q"], xn), dims.n_text_head)
+        k_new = _split_heads(_linear(blk["attn"]["k"], xn), dims.n_text_head)
+        v_new = _split_heads(_linear(blk["attn"]["v"], xn), dims.n_text_head)
+        k_cache = jax.lax.dynamic_update_slice(
+            kv_k, k_new.astype(kv_k.dtype), (0, pos, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            kv_v, v_new.astype(kv_v.dtype), (0, pos, 0, 0)
+        )
+        attn = _attention(q, k_cache, v_cache, mask).reshape(b, 1, -1)
+        x = x + _linear(blk["attn"]["o"], attn)
+
+        xq = _layer_norm(blk["ln_cross"], x)
+        qc = _split_heads(
+            _linear(blk["cross_attn"]["q"], xq), dims.n_text_head
+        )
+        if quantized:
+            scale = qc.shape[-1] ** -0.5
+            qs = qc * (ckv["k_scale"][None, None] * scale).astype(qc.dtype)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", qs, ckv["k_q"].astype(qc.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            w = jax.nn.softmax(logits, axis=-1).astype(qc.dtype)
+            cross = jnp.einsum(
+                "bhqk,bkhd->bqhd", w, ckv["v_q"].astype(qc.dtype)
+            ) * ckv["v_scale"][None, None].astype(qc.dtype)
+        else:
+            cross = _attention(qc, ckv["k"], ckv["v"])
+        x = x + _linear(blk["cross_attn"]["o"], cross.reshape(b, 1, -1))
+        x = x + _mlp(blk["mlp_in"], blk["mlp_out"], _layer_norm(blk["ln2"], x))
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (dec["blocks_stacked"], cache["k"], cache["v"], cross_kv)
+    )
+    x = _layer_norm(dec["ln"], x)
+    logits = _vocab_logits(dec, x[:, 0, :])
+    return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
