@@ -86,3 +86,30 @@ def test_pyannote_facade(tmp_path):
     for turn, _, label in rows:
         assert turn.end > turn.start
         assert label.startswith("SPEAKER_")
+
+
+def test_marblenet_vad_path_with_checkpoint(tmp_path, monkeypatch):
+    """With a VAD checkpoint installed, the neural MarbleNet path runs
+    (mel features → frame probs at 10 ms) instead of the energy VAD."""
+    import jax
+
+    from whisper_nemo_tpu.engine.checkpoint import save_params
+    from whisper_nemo_tpu.models import marblenet
+
+    monkeypatch.setenv("WNT_MODEL_DIR", str(tmp_path))
+    dims = marblenet.MarbleNetDims(filters=(32, 16, 16, 16))
+    params = marblenet.init_marblenet_params(jax.random.PRNGKey(0), dims)
+    save_params(str(tmp_path / "vad_multilingual_marblenet.npz"), params)
+
+    cfg = create_config(str(tmp_path))
+    diar = NeuralDiarizer(cfg)
+    diar.marblenet_dims = dims  # match the test checkpoint's size
+    assert diar.vad_params is not None, "checkpoint not picked up"
+
+    audio = np.random.default_rng(0).standard_normal(32000).astype(
+        np.float32
+    ) * 0.2
+    probs = diar._frame_speech_probs(audio)
+    # 2 s at 10 ms frames ≈ 200 probs, all in [0, 1]
+    assert 150 < len(probs) <= 210
+    assert (probs >= 0).all() and (probs <= 1).all()
