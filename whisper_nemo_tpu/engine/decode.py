@@ -211,30 +211,39 @@ def greedy_decode(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    sot_index = jnp.argmax(
-        (prompt == opts.sot).astype(jnp.int32), axis=1
-    )  # position of SOT inside the prompt (for no-speech readout)
+    # prefill: all prompt positions in one teacher-forced pass (batched
+    # matmuls instead of n_prompt sequential loop steps)
+    from ..models.whisper import _vocab_logits, prefill_cache
+
+    if stacked:
+        from ..models.whisper_stacked import prefill_cache_stacked
+
+        x_pf, cache = prefill_cache_stacked(
+            params, tokens[:, :n_prompt], cache, cross_kv, dims, dtype,
+            kv_valid=kv_valid, pos_offset=pos_offset,
+        )
+    else:
+        x_pf, cache = prefill_cache(
+            params, tokens[:, :n_prompt], cache, cross_kv, dims, dtype,
+            kv_valid=kv_valid, pos_offset=pos_offset,
+        )
+    dec = params["decoder"]
+    first_logits = _vocab_logits(dec, x_pf[:, -1, :]).astype(jnp.float32)
+
+    # no-speech prob: read at the SOT step's output
+    sot_index = jnp.argmax((prompt == opts.sot).astype(jnp.int32), axis=1)
+    x_sot = x_pf[jnp.arange(b), sot_index]
+    no_speech_prob = jax.nn.softmax(
+        _vocab_logits(dec, x_sot).astype(jnp.float32), axis=-1
+    )[:, opts.no_speech]
 
     def cond(state):
         pos, _, _, finished, *_ = state
         return (pos < max_len) & ~jnp.all(finished)
 
     def body(state):
-        (pos, tokens, cache, finished, sum_logprob, length, no_speech, rng) = state
-        cur = tokens[jnp.arange(b), pos - 1]
-        logits, cache = step_fn(
-            params, cur, pos - 1, cache, cross_kv, dims, dtype,
-            kv_valid=kv_valid, pos_offset=pos_offset,
-        )  # logits for position pos
-
-        # no-speech prob: measured at the step that consumed SOT
-        probs_all = jax.nn.softmax(logits, axis=-1)
-        at_sot = (pos - 1) == sot_index
-        no_speech = jnp.where(
-            at_sot, probs_all[:, opts.no_speech], no_speech
-        )
-
-        in_prompt = pos < n_prompt
+        (pos, tokens, cache, finished, sum_logprob, length, logits, rng) = state
+        # ``logits`` predict the token at ``pos``
         filt = logits + suppress_mask[None, :]
         if opts.min_new_tokens > 0:
             below_min = (pos - n_prompt) < opts.min_new_tokens
@@ -271,36 +280,38 @@ def greedy_decode(
         logprobs = jax.nn.log_softmax(filt, axis=-1)
         step_logprob = logprobs[jnp.arange(b), nxt]
 
-        # prompt positions: force the prompt token, no scoring
-        prompt_tok = tokens[jnp.arange(b), pos]
-        nxt = jnp.where(in_prompt, prompt_tok, nxt).astype(jnp.int32)
-        nxt = jnp.where(finished, opts.eot, nxt)
+        nxt = jnp.where(finished, opts.eot, nxt).astype(jnp.int32)
 
-        newly_finished = (~in_prompt) & (nxt == opts.eot) & ~finished
-        active = (~in_prompt) & ~finished & (nxt != opts.eot)
-        sum_logprob = sum_logprob + jnp.where(
-            (~in_prompt) & ~finished, step_logprob, 0.0
-        )
+        newly_finished = (nxt == opts.eot) & ~finished
+        active = ~finished & (nxt != opts.eot)
+        sum_logprob = sum_logprob + jnp.where(~finished, step_logprob, 0.0)
         length = length + active.astype(jnp.int32)
         finished = finished | newly_finished
 
         tokens = tokens.at[jnp.arange(b), pos].set(nxt)
-        return (pos + 1, tokens, cache, finished, sum_logprob, length, no_speech, rng)
+        next_logits, cache = step_fn(
+            params, nxt, pos, cache, cross_kv, dims, dtype,
+            kv_valid=kv_valid, pos_offset=pos_offset,
+        )  # logits for pos + 1
+        return (
+            pos + 1, tokens, cache, finished, sum_logprob, length,
+            next_logits, rng,
+        )
 
     init = (
-        jnp.int32(1),
+        jnp.int32(n_prompt),
         tokens,
         cache,
         jnp.zeros((b,), bool),
         jnp.zeros((b,), jnp.float32),
         jnp.zeros((b,), jnp.int32),
-        jnp.zeros((b,), jnp.float32),
+        first_logits,
         rng,
     )
-    (_, tokens, _, _, sum_logprob, length, no_speech, _) = jax.lax.while_loop(
+    (_, tokens, _, _, sum_logprob, length, _, _) = jax.lax.while_loop(
         cond, body, init
     )
-    return tokens, length, sum_logprob, no_speech
+    return tokens, length, sum_logprob, no_speech_prob
 
 
 @functools.partial(

@@ -463,3 +463,92 @@ def decode_step(
 def cross_attention_kv(params, audio, dims):
     """Public alias for precomputing cross-attention K/V per segment."""
     return _cross_attn_kv(params, audio, dims)
+
+
+def prefill_cache(
+    params: Params,
+    prompt: jnp.ndarray,  # [B, P] int32
+    cache: list,
+    cross_kv: list,
+    dims: WhisperDims,
+    dtype=jnp.float32,
+    kv_valid: Optional[jnp.ndarray] = None,  # [B, cache_len] bool
+    pos_offset: Optional[jnp.ndarray] = None,  # [B] int32
+) -> Tuple[jnp.ndarray, list]:
+    """Process all prompt tokens in one teacher-forced pass.
+
+    Fills the KV cache at positions [0, P) and returns the final-norm
+    hidden states [B, P, D] (callers project the positions they need:
+    last position → first generation logits, SOT position → no-speech
+    probability) — replacing P sequential decode_step calls with
+    batched matmuls. Supports the left-padded conditioning layout via
+    ``kv_valid`` / ``pos_offset`` exactly like decode_step.
+    """
+    dec = params["decoder"]
+    b, p_len = prompt.shape
+    cache_len = cache[0]["k"].shape[1]
+
+    positions = jnp.arange(p_len)
+    if pos_offset is None:
+        pos_emb = dec["pos_emb"][:p_len][None]
+    else:
+        logical = jnp.maximum(
+            positions[None, :] - pos_offset[:, None], 0
+        )  # [B, P]
+        pos_emb = dec["pos_emb"][logical]
+    x = (dec["tok_emb"][prompt] + pos_emb).astype(dtype)  # [B, P, D]
+
+    # causal mask over the prompt, respecting conditioning validity
+    causal = positions[None, :] <= positions[:, None]  # [P, P]
+    if kv_valid is None:
+        mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)[
+            None, None, :, :
+        ]
+    else:
+        valid = kv_valid[:, :p_len]  # [B, P]
+        visible = causal[None] & valid[:, None, :]
+        mask = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[
+            :, None, :, :
+        ]
+
+    new_cache = []
+    for blk, kv, ckv in zip(dec["blocks"], cache, cross_kv):
+        xn = _layer_norm(blk["ln1"], x)
+        q = _split_heads(_linear(blk["attn"]["q"], xn), dims.n_text_head)
+        k_new = _split_heads(_linear(blk["attn"]["k"], xn), dims.n_text_head)
+        v_new = _split_heads(_linear(blk["attn"]["v"], xn), dims.n_text_head)
+        k_cache = jax.lax.dynamic_update_slice(
+            kv["k"], k_new.astype(kv["k"].dtype), (0, 0, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            kv["v"], v_new.astype(kv["v"].dtype), (0, 0, 0, 0)
+        )
+        new_cache.append({"k": k_cache, "v": v_cache})
+        attn = _attention(q, k_new, v_new, mask).reshape(b, p_len, -1)
+        x = x + _linear(blk["attn"]["o"], attn)
+
+        xq = _layer_norm(blk["ln_cross"], x)
+        if "k_q" in ckv:
+            qc = _split_heads(
+                _linear(blk["cross_attn"]["q"], xq), dims.n_text_head
+            )
+            scale = qc.shape[-1] ** -0.5
+            qs = qc * (ckv["k_scale"][None, None] * scale).astype(qc.dtype)
+            logits_c = jnp.einsum(
+                "bqhd,bkhd->bhqk", qs, ckv["k_q"].astype(qc.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            w = jax.nn.softmax(logits_c, axis=-1).astype(qc.dtype)
+            cross = jnp.einsum(
+                "bhqk,bkhd->bqhd", w, ckv["v_q"].astype(qc.dtype)
+            ) * ckv["v_scale"][None, None].astype(qc.dtype)
+        else:
+            qc = _split_heads(
+                _linear(blk["cross_attn"]["q"], xq), dims.n_text_head
+            )
+            cross = _attention(qc, ckv["k"], ckv["v"])
+        x = x + _linear(blk["cross_attn"]["o"], cross.reshape(b, p_len, -1))
+        x = x + _mlp(blk["mlp_in"], blk["mlp_out"], _layer_norm(blk["ln2"], x))
+
+    x = _layer_norm(dec["ln"], x)
+    return x, new_cache

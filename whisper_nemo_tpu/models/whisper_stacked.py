@@ -104,6 +104,84 @@ def init_stacked_cache(
     }
 
 
+def prefill_cache_stacked(
+    params: Dict[str, Any],
+    prompt: jnp.ndarray,  # [B, P]
+    cache: dict,
+    cross_kv: dict,
+    dims: WhisperDims,
+    dtype=jnp.float32,
+    kv_valid: Optional[jnp.ndarray] = None,
+    pos_offset: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, dict]:
+    """Stacked-layer analogue of models.whisper.prefill_cache."""
+    dec = params["decoder"]
+    b, p_len = prompt.shape
+    positions = jnp.arange(p_len)
+    if pos_offset is None:
+        pos_emb = dec["pos_emb"][:p_len][None]
+    else:
+        logical = jnp.maximum(positions[None, :] - pos_offset[:, None], 0)
+        pos_emb = dec["pos_emb"][logical]
+    x = (dec["tok_emb"][prompt] + pos_emb).astype(dtype)
+
+    causal = positions[None, :] <= positions[:, None]
+    if kv_valid is None:
+        mask = jnp.where(causal, 0.0, -jnp.inf).astype(jnp.float32)[
+            None, None, :, :
+        ]
+    else:
+        valid = kv_valid[:, :p_len]
+        visible = causal[None] & valid[:, None, :]
+        mask = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[
+            :, None, :, :
+        ]
+
+    quantized = "k_q" in cross_kv
+
+    def layer(x, scanned):
+        blk, kv_k, kv_v, ckv = scanned
+        xn = _layer_norm(blk["ln1"], x)
+        q = _split_heads(_linear(blk["attn"]["q"], xn), dims.n_text_head)
+        k_new = _split_heads(_linear(blk["attn"]["k"], xn), dims.n_text_head)
+        v_new = _split_heads(_linear(blk["attn"]["v"], xn), dims.n_text_head)
+        k_cache = jax.lax.dynamic_update_slice(
+            kv_k, k_new.astype(kv_k.dtype), (0, 0, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            kv_v, v_new.astype(kv_v.dtype), (0, 0, 0, 0)
+        )
+        attn = _attention(q, k_new, v_new, mask).reshape(b, p_len, -1)
+        x = x + _linear(blk["attn"]["o"], attn)
+
+        xq = _layer_norm(blk["ln_cross"], x)
+        qc = _split_heads(
+            _linear(blk["cross_attn"]["q"], xq), dims.n_text_head
+        )
+        if quantized:
+            scale = qc.shape[-1] ** -0.5
+            qs = qc * (ckv["k_scale"][None, None] * scale).astype(qc.dtype)
+            logits_c = jnp.einsum(
+                "bqhd,bkhd->bhqk", qs, ckv["k_q"].astype(qc.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            w = jax.nn.softmax(logits_c, axis=-1).astype(qc.dtype)
+            cross = jnp.einsum(
+                "bhqk,bkhd->bqhd", w, ckv["v_q"].astype(qc.dtype)
+            ) * ckv["v_scale"][None, None].astype(qc.dtype)
+        else:
+            cross = _attention(qc, ckv["k"], ckv["v"])
+        x = x + _linear(blk["cross_attn"]["o"], cross.reshape(b, p_len, -1))
+        x = x + _mlp(blk["mlp_in"], blk["mlp_out"], _layer_norm(blk["ln2"], x))
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (dec["blocks_stacked"], cache["k"], cache["v"], cross_kv)
+    )
+    x = _layer_norm(dec["ln"], x)
+    return x, {"k": new_k, "v": new_v}
+
+
 def decode_step_stacked(
     params: Dict[str, Any],  # stacked form (stack_decoder_blocks output)
     token: jnp.ndarray,  # [B]

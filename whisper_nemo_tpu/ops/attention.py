@@ -37,8 +37,18 @@ def _resolve_impl() -> str:
     )
 
 
+_MASK_VALUE = -0.7 * 3.4e38  # finite "-inf": avoids NaN from exp(-inf-(-inf))
+
+
 def _xla_attention(q, k, v, mask=None):
-    """[B, Tq, H, D] × [B, Tk, H, D] → [B, Tq, H, D], fp32 softmax."""
+    """[B, Tq, H, D] × [B, Tk, H, D] → [B, Tq, H, D], fp32 softmax.
+
+    ``mask`` is additive 0/-inf; masked positions are REPLACED with a
+    large finite negative instead of added, so (a) fully-masked rows
+    softmax to uniform rather than NaN and (b) NaN garbage in masked
+    keys (e.g. padded conditioning slots) cannot leak through
+    ``NaN + -inf``.
+    """
     scale = q.shape[-1] ** -0.25
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk",
@@ -47,7 +57,7 @@ def _xla_attention(q, k, v, mask=None):
         preferred_element_type=jnp.float32,
     )
     if mask is not None:
-        logits = logits + mask
+        logits = jnp.where(mask >= 0.0, logits, _MASK_VALUE)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
         q.dtype
     )
