@@ -49,6 +49,17 @@ from .segments import (
 
 logger = get_logger(__name__)
 
+
+def _load_cfg_sidecar(ckpt_path: str) -> Optional[dict]:
+    """tools/convert_nemo.py writes ``<name>.cfg.json`` beside converted
+    .nemo checkpoints; its presence selects the exact-architecture
+    conv_asr path over the random-init test models."""
+    path = ckpt_path[: -len(".npz")] + ".cfg.json"
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
 # compact architecture used when no converted checkpoint is installed
 # (zero-egress fallback; a real titanet_large checkpoint switches dims)
 _TITANET_SMALL = titanet.TitaNetDims(
@@ -77,8 +88,19 @@ class NeuralDiarizer:
 
         vad_ckpt = os.path.join(cache, f"{d.vad.model_path}.npz")
         self.marblenet_dims = marblenet.MarbleNetDims()
+        self._vad_cfgs = None  # set when a converted-.nemo sidecar exists
         if os.path.exists(vad_ckpt):
             self.vad_params = load_params(vad_ckpt)
+            meta = _load_cfg_sidecar(vad_ckpt)
+            if meta is not None:
+                from ..models import conv_asr
+
+                self._vad_cfgs = [
+                    conv_asr.JasperBlockCfg(**b) for b in meta["blocks"]
+                ]
+                self.marblenet_dims = marblenet.MarbleNetDims(
+                    n_mels=meta["n_mels"]
+                )
         else:
             # energy VAD fallback (also under force_large: random VAD
             # logits would sit near 0.5 and never cross the onset
@@ -108,6 +130,22 @@ class NeuralDiarizer:
         if os.path.exists(spk_ckpt):
             self.spk_params = load_params(spk_ckpt)
             self.spk_dims = full_dims
+            meta = _load_cfg_sidecar(spk_ckpt)
+            if meta is not None:
+                # converted .nemo: run the exact Jasper stack from the
+                # archive's model_config.yaml (models/conv_asr.py)
+                from ..models import conv_asr
+
+                cfgs = [
+                    conv_asr.JasperBlockCfg(**b) for b in meta["blocks"]
+                ]
+                self.spk_dims = titanet.TitaNetDims(
+                    n_mels=meta["n_mels"], emb_dim=meta["emb_dim"]
+                )
+                self._embed_module = (
+                    lambda p, f, l, dims, _c=tuple(cfgs):
+                    conv_asr.speaker_embed(p, _c, f, l)
+                )
         elif self._force_large:
             # benchmarking path: production-scale architecture, random init
             self.spk_dims = full_dims
@@ -178,11 +216,20 @@ class NeuralDiarizer:
             feats = log_mel_features(
                 jnp.asarray(audio), n_mels=self.marblenet_dims.n_mels
             )[None]
-            probs = np.asarray(
-                marblenet.speech_probs(
-                    self.vad_params, feats, self.marblenet_dims
-                )[0]
-            )
+            if self._vad_cfgs is not None:
+                from ..models import conv_asr
+
+                probs = np.asarray(
+                    conv_asr.speech_probs(
+                        self.vad_params, self._vad_cfgs, feats
+                    )[0]
+                )
+            else:
+                probs = np.asarray(
+                    marblenet.speech_probs(
+                        self.vad_params, feats, self.marblenet_dims
+                    )[0]
+                )
         else:
             probs = frame_energy_probs(
                 audio, frame_shift=p.shift_length_in_sec,

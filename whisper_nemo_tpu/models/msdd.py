@@ -88,12 +88,23 @@ def msdd_logits(
     params: Params,
     feats: jnp.ndarray,  # [B, T, 2*n_scales+2] pair features
 ) -> jnp.ndarray:
-    """Pair features → per-speaker logits [B, T, 2]."""
-    x = jnp.dot(
-        feats, params["in"]["w"], preferred_element_type=jnp.float32
-    ) + params["in"]["b"]
-    x = jnp.tanh(x)
+    """Pair features → per-speaker logits [B, T, 2].
+
+    Converted NeMo checkpoints (engine/nemo_weights.convert_msdd) may
+    omit the input projection and carry a reverse-direction LSTM
+    (``lstm_rev``); both are handled structurally so random-init and
+    converted param trees share this forward.
+    """
+    x = feats
+    if "in" in params:
+        x = jnp.dot(
+            x, params["in"]["w"], preferred_element_type=jnp.float32
+        ) + params["in"]["b"]
+        x = jnp.tanh(x)
     h = _lstm(params["lstm"], x)
+    if "lstm_rev" in params:
+        h_rev = _lstm(params["lstm_rev"], x[:, ::-1])[:, ::-1]
+        h = jnp.concatenate([h, h_rev], axis=-1)
     return (
         jnp.dot(h, params["out"]["w"], preferred_element_type=jnp.float32)
         + params["out"]["b"]
