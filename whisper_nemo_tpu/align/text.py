@@ -5,12 +5,12 @@ diarize.py:170-174): the transcript is normalized/romanized, split into
 words, and each word is bracketed by ``<star>`` wildcard tokens so the
 aligner can absorb untranscribed audio.
 
-Romanization: the upstream tool shells out to uroman (Perl). Here a
-host-side transliteration covers the Latin-diacritic range and strips
-characters outside the aligner vocabulary; wholly non-Latin scripts pass
-through lowercased (the CTC dictionary maps unknown symbols to
-``<star>``), which preserves alignment behavior if not exact uroman
-output.
+Romanization: the upstream tool shells out to uroman (Perl). Here
+``align.uroman`` transliterates Cyrillic/Greek/Hebrew/Arabic/kana/
+Hangul/Devanagari host-side and the Latin-diacritic range is NFKD-
+stripped; remaining unmapped scripts (Han ideographs) fall back to the
+CTC dictionary's ``<star>`` wildcard, which keeps alignment defined if
+not exact uroman output.
 """
 
 from __future__ import annotations
@@ -19,12 +19,16 @@ import re
 import unicodedata
 from typing import List, Tuple
 
+from . import uroman
+
 
 def normalize_word(word: str, language: str = "eng") -> str:
-    """Lowercase, strip diacritics to ASCII where possible, drop
-    punctuation (the aligner vocabulary is bare lowercase letters and
-    digits plus apostrophe)."""
+    """Lowercase, romanize non-Latin scripts (align.uroman), strip
+    diacritics to ASCII where possible, drop punctuation (the aligner
+    vocabulary is bare lowercase letters and digits plus apostrophe)."""
     word = word.lower()
+    if uroman.needs_romanization(word):
+        word = uroman.romanize(word)
     decomposed = unicodedata.normalize("NFKD", word)
     stripped = "".join(c for c in decomposed if not unicodedata.combining(c))
     cleaned = re.sub(r"[^\w\s']", "", stripped, flags=re.UNICODE)
