@@ -69,3 +69,23 @@ def test_punctuation_model_predict_contract():
 def test_punctuation_model_empty():
     model = PunctuationModel()
     assert model.predict([]) == []
+
+
+def test_punctuation_overlapped_chunking_covers_all_words():
+    """Long input steps by chunk−2·overlap; every word gets exactly one
+    label, in order, and edge words take labels from interior context."""
+    model = PunctuationModel()
+    words = [f"w{i}" for i in range(57)]
+    labeled = model.predict(words, chunk_size=10, overlap=3)
+    assert [w for w, _, _ in labeled] == words
+    assert all(l in PUNCT_LABELS and 0 <= s <= 1 for _, l, s in labeled)
+    # single-chunk path agrees with itself (deterministic batching)
+    again = model.predict(words, chunk_size=10, overlap=3)
+    assert labeled == again
+
+
+def test_punctuation_overlap_clamped_for_tiny_chunks():
+    model = PunctuationModel()
+    words = list("abcdefgh")
+    labeled = model.predict(words, chunk_size=3)  # overlap 5 → clamped 1
+    assert [w for w, _, _ in labeled] == words

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Any, Dict, List, Mapping, Sequence, Tuple
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -263,23 +263,62 @@ class PunctuationModel:
         )
 
     def predict(
-        self, words: Sequence[str], chunk_size: int = 230
+        self, words: Sequence[str], chunk_size: int = 230, overlap: int = 5
     ) -> List[Tuple[str, str, float]]:
-        """Per-word punctuation labels over ``chunk_size``-word chunks."""
-        out: List[Tuple[str, str, float]] = []
-        for start in range(0, len(words), chunk_size):
-            chunk = list(words[start : start + chunk_size])
-            if not chunk:
-                continue
-            ids, first = self.tokenizer.encode_words(chunk)
-            arr = np.asarray([ids], np.int32)
-            mask = np.ones_like(arr)
-            logits = np.asarray(
-                self._jit(self.params, jnp.asarray(arr), jnp.asarray(mask))
-            )[0]
-            probs = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        """Per-word punctuation labels over overlapping word chunks.
+
+        Long transcripts step by ``chunk_size − 2·overlap`` and each
+        word takes its label from the chunk where it sits away from
+        the chunk edge (deepmultilingualpunctuation's scheme — edge
+        words lack right context and mispredict sentence ends). All
+        chunks run as ONE padded batch through the jitted classifier;
+        pad sizes bucket (tokens to 64, rows to powers of two) so the
+        compile cache stays small across transcript lengths.
+        """
+        words = list(words)
+        if not words:
+            return []
+        if len(words) <= chunk_size:
+            starts = [0]
+        else:
+            overlap = min(overlap, (chunk_size - 1) // 2)
+            step = chunk_size - 2 * overlap
+            starts = list(range(0, len(words) - overlap, step))
+        chunks = [words[s : s + chunk_size] for s in starts]
+        encoded = [self.tokenizer.encode_words(c) for c in chunks]
+
+        max_len = max(len(ids) for ids, _ in encoded)
+        pad_len = -(-max_len // 64) * 64
+        pad_rows = 1 << (len(encoded) - 1).bit_length()
+        arr = np.zeros((pad_rows, pad_len), np.int32)
+        mask = np.zeros_like(arr)
+        for i, (ids, _) in enumerate(encoded):
+            arr[i, : len(ids)] = ids
+            mask[i, : len(ids)] = 1
+        logits = np.asarray(
+            self._jit(self.params, jnp.asarray(arr), jnp.asarray(mask))
+        )
+
+        out: List[Optional[Tuple[str, str, float]]] = [None] * len(words)
+        for ci, (start, chunk, (ids, first)) in enumerate(
+            zip(starts, chunks, encoded)
+        ):
+            lg = logits[ci]
+            probs = np.exp(lg - lg.max(axis=-1, keepdims=True))
             probs /= probs.sum(axis=-1, keepdims=True)
-            for w, fi in zip(chunk, first):
-                li = int(np.argmax(probs[fi]))
-                out.append((w, PUNCT_LABELS[li], float(probs[fi, li])))
-        return out
+            lo = 0 if start == 0 else overlap
+            hi = (
+                len(chunk)
+                if start + len(chunk) >= len(words)
+                else max(lo, len(chunk) - overlap)
+            )
+            for j in range(lo, hi):
+                gi = start + j
+                if gi < len(words) and out[gi] is None:
+                    fi = first[j]
+                    li = int(np.argmax(probs[fi]))
+                    out[gi] = (
+                        chunk[j], PUNCT_LABELS[li], float(probs[fi, li])
+                    )
+        assert all(o is not None for o in out), "chunking left gaps"
+        return out  # type: ignore[return-value]
