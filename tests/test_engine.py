@@ -238,3 +238,40 @@ def test_checkpoint_roundtrip(tmp_path):
 def test_resolve_model_unknown_name():
     with pytest.raises(ValueError):
         resolve_model("definitely-not-a-model")
+
+
+def test_transcribe_sequential_initial_prompt_and_beam(tiny_engine):
+    """initial_prompt conditions the first window (left-padded prefix
+    through the prefilled decode) on both greedy and beam paths, with
+    and without condition_on_previous_text — the faster-whisper
+    contract."""
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(2 * 16000) * 0.2).astype(np.float32)
+    for beam in (1, 5):
+        for cond in (True, False):
+            segments, info = tiny_engine.transcribe_sequential(
+                audio, language="en", temperatures=(0.0,),
+                without_timestamps=True, beam_size=beam,
+                condition_on_previous_text=cond,
+                initial_prompt="A phone call.",
+            )
+            assert info.duration == pytest.approx(2.0)
+            for s in segments:
+                assert s.start >= 0.0
+
+
+def test_faster_whisper_api_accepts_path(tmp_path, tiny_engine, monkeypatch):
+    """WhisperModel.transcribe takes a file path like upstream
+    faster-whisper (not only a waveform)."""
+    from whisper_nemo_tpu.asr.faster_whisper_api import WhisperModel
+    from whisper_nemo_tpu.audio import write_wav
+
+    rng = np.random.default_rng(6)
+    path = str(tmp_path / "a.wav")
+    write_wav(path, (rng.standard_normal(16000) * 0.2).astype(np.float32))
+    model = WhisperModel.__new__(WhisperModel)
+    model.engine = tiny_engine
+    segs, info = model.transcribe(path, beam_size=2,
+                                  initial_prompt="hello")
+    assert info.duration == pytest.approx(1.0, abs=0.05)
+    list(segs)

@@ -18,6 +18,7 @@ Drop-in for the API surface the reference CLI exercises
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Iterable, List, Optional, Sequence, Tuple
 
@@ -99,10 +100,16 @@ class WhisperModel:
         log_prob_threshold: float = -1.0,
         no_speech_threshold: float = 0.6,
         condition_on_previous_text: bool = True,
+        initial_prompt: Optional[str] = None,
         **_ignored,
     ) -> Tuple[Iterable[Segment], TranscriptionInfo]:
         if isinstance(temperature, (int, float)):
             temperature = (float(temperature),)
+        if isinstance(audio, (str, os.PathLike)):
+            # faster-whisper accepts a path as well as a waveform
+            from ..audio import decode_audio
+
+            audio = decode_audio(os.fspath(audio))
         segments, info = self.engine.transcribe_sequential(
             np.asarray(audio, np.float32),
             language=language,
@@ -116,6 +123,7 @@ class WhisperModel:
             without_timestamps=without_timestamps,
             beam_size=beam_size,
             task=task,
+            initial_prompt=initial_prompt,
         )
         if word_timestamps:
             _attach_word_timestamps(

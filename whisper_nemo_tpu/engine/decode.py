@@ -342,6 +342,11 @@ def beam_decode(
     GNMT-style length normalization score = logprob / len^alpha.
     ``prompt_valid`` supports the left-padded conditioning prefix (same
     masking + position-offset scheme as the greedy loop).
+
+    The prompt phase prefills once per batch row (teacher-forced pass
+    at width B — all k beams are identical until generation starts) and
+    the filled cache expands to B·K, so the while_loop runs only
+    generation steps.
     """
     b = audio_features.shape[0]
     k = beam_size
@@ -356,6 +361,46 @@ def beam_decode(
     base_kv = cross_attention_kv(params, audio, dims)
     if kv_int8:
         base_kv = quantize_cross_kv(base_kv)
+    cache_len = min(dims.n_text_ctx, -(-max_len // 128) * 128)
+
+    if prompt_valid is None:
+        kv_valid_b = pos_offset_b = None
+        kv_valid = pos_offset = None
+    else:
+        pv = prompt_valid.astype(bool)
+        kv_valid_b = jnp.concatenate(
+            [pv, jnp.ones((b, cache_len - n_prompt), bool)], axis=1
+        )
+        pos_offset_b = jnp.sum(~pv, axis=1).astype(jnp.int32)
+        kv_valid = expand(kv_valid_b)
+        pos_offset = expand(pos_offset_b)
+
+    # prefill: the prompt phase is identical across a row's k beams, so
+    # it runs ONCE per batch row as a teacher-forced pass (B-sized),
+    # then the filled cache expands to B·K — instead of n_prompt
+    # sequential B·K-wide loop steps
+    from ..models.whisper import _vocab_logits, prefill_cache
+
+    cache_b = init_kv_cache(b, dims, dtype, cache_len=cache_len)
+    x_pf, cache_b = prefill_cache(
+        params, prompt.astype(jnp.int32), cache_b, base_kv, dims, dtype,
+        kv_valid=kv_valid_b, pos_offset=pos_offset_b,
+    )
+    dec = params["decoder"]
+    first_logits = expand(
+        _vocab_logits(dec, x_pf[:, -1, :]).astype(jnp.float32)
+    )  # [BK, V] — predicts the token at pos = n_prompt
+
+    sot_index = jnp.argmax((prompt == opts.sot).astype(jnp.int32), axis=1)
+    x_sot = x_pf[jnp.arange(b), sot_index]
+    no_speech_prob = jax.nn.softmax(
+        _vocab_logits(dec, x_sot).astype(jnp.float32), axis=-1
+    )[:, opts.no_speech]  # [B]
+
+    cache = [
+        {"k": expand(kv["k"]), "v": expand(kv["v"])} for kv in cache_b
+    ]
+    if kv_int8:
         cross_kv = [
             {
                 "k_q": expand(ckv["k_q"]),
@@ -370,23 +415,11 @@ def beam_decode(
             {"k": expand(ckv["k"]), "v": expand(ckv["v"])}
             for ckv in base_kv
         ]
-    cache_len = min(dims.n_text_ctx, -(-max_len // 128) * 128)
-    cache = init_kv_cache(bk, dims, dtype, cache_len=cache_len)
 
     tokens = jnp.zeros((bk, max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(
         tokens, expand(prompt.astype(jnp.int32)), (0, 0)
     )
-
-    if prompt_valid is None:
-        kv_valid = None
-        pos_offset = None
-    else:
-        pv = expand(prompt_valid.astype(bool))
-        kv_valid = jnp.concatenate(
-            [pv, jnp.ones((bk, cache_len - n_prompt), bool)], axis=1
-        )
-        pos_offset = jnp.sum(~pv, axis=1).astype(jnp.int32)
 
     # only beam 0 starts alive; the rest start at -inf so the first
     # expansion fans out from a single hypothesis
@@ -394,28 +427,13 @@ def beam_decode(
         jnp.where(jnp.arange(k) == 0, 0.0, -jnp.inf)[None, :], (b, 1)
     )  # [B, K]
 
-    sot_index = jnp.argmax((prompt == opts.sot).astype(jnp.int32), axis=1)
-
     def cond(state):
         pos, _, _, finished, *_ = state
         return (pos < max_len) & ~jnp.all(finished)
 
     def body(state):
-        (pos, tokens, cache, finished, beam_scores, no_speech) = state
-        cur = tokens[jnp.arange(bk), pos - 1]
-        logits, new_cache = decode_step(
-            params, cur, pos - 1, cache, cross_kv, dims, dtype,
-            kv_valid=kv_valid, pos_offset=pos_offset,
-        )  # [BK, V]
-
-        probs_all = jax.nn.softmax(logits, axis=-1)
-        at_sot = (pos - 1) == jnp.repeat(sot_index, k)
-        no_speech = jnp.where(
-            at_sot, probs_all[:, opts.no_speech], no_speech
-        )
-
-        in_prompt = pos < n_prompt
-
+        (pos, tokens, cache, finished, beam_scores, logits) = state
+        # ``logits`` predict the token at ``pos``
         filt = logits + suppress_mask[None, :]
         if opts.suppress_blank:
             first_step = pos == n_prompt
@@ -449,16 +467,6 @@ def beam_decode(
         src_beam = top_idx // v  # [B, K] beam each winner came from
         new_tok = (top_idx % v).astype(jnp.int32)
 
-        # prompt phase: all beams force the prompt token, scores stay
-        prompt_tok = tokens[jnp.arange(bk), pos].reshape(b, k)
-        new_tok = jnp.where(in_prompt, prompt_tok, new_tok)
-        src_beam = jnp.where(
-            in_prompt, jnp.tile(jnp.arange(k)[None, :], (b, 1)), src_beam
-        )
-        top_scores = jnp.where(
-            in_prompt, beam_scores, top_scores
-        )
-
         gather_idx = (
             jnp.arange(b)[:, None] * k + src_beam
         ).reshape(bk)  # [BK] source row per new beam
@@ -470,23 +478,26 @@ def beam_decode(
                 "k": kv["k"][gather_idx],
                 "v": kv["v"][gather_idx],
             }
-            for kv in new_cache
+            for kv in cache
         ]
-        no_speech = no_speech[gather_idx]
         finished = finished[gather_idx] | (
-            (~in_prompt) & (new_tok.reshape(bk) == opts.eot)
+            new_tok.reshape(bk) == opts.eot
         )
-        return (pos + 1, tokens, cache, finished, top_scores, no_speech)
+        next_logits, cache = decode_step(
+            params, new_tok.reshape(bk), pos, cache, cross_kv, dims,
+            dtype, kv_valid=kv_valid, pos_offset=pos_offset,
+        )  # logits for pos + 1
+        return (pos + 1, tokens, cache, finished, top_scores, next_logits)
 
     init = (
-        jnp.int32(1),
+        jnp.int32(n_prompt),
         tokens,
         cache,
         jnp.zeros((bk,), bool),
         beam_scores,
-        jnp.zeros((bk,), jnp.float32),
+        first_logits,
     )
-    (_, tokens, _, finished, beam_scores, no_speech) = jax.lax.while_loop(
+    (_, tokens, _, finished, beam_scores, _) = jax.lax.while_loop(
         cond, body, init
     )
 
@@ -506,7 +517,7 @@ def beam_decode(
         tokens[pick],
         lengths[pick],
         beam_scores.reshape(bk)[pick],
-        no_speech[pick],
+        no_speech_prob,  # [B]: identical across a row's beams
     )
 
 

@@ -484,6 +484,7 @@ class WhisperEngine:
         without_timestamps: bool = False,
         beam_size: int = 1,
         task: str = "transcribe",
+        initial_prompt: Optional[str] = None,
     ) -> Tuple[List[Segment], TranscriptionInfo]:
         duration = len(audio) / SAMPLE_RATE
         time_map = None  # [(concat_start_s, orig_start_s, dur_s)]
@@ -521,6 +522,13 @@ class WhisperEngine:
         segments: List[Segment] = []
         ts_begin = self.tokenizer.timestamp_begin
         all_tokens: List[int] = []  # conditioning history
+        if initial_prompt:
+            # user-supplied context conditions the first window even
+            # with condition_on_previous_text=False (faster-whisper's
+            # initial_prompt contract)
+            all_tokens.extend(
+                self.tokenizer.encode(" " + initial_prompt.strip())
+            )
         prompt_reset_since = 0
 
         while seek < content_frames:
@@ -530,11 +538,7 @@ class WhisperEngine:
             mel = self.mel_window(chunk)[None]
             feats = self.encode_windows(mel)
 
-            previous = (
-                all_tokens[prompt_reset_since:]
-                if condition_on_previous_text
-                else None
-            )
+            previous = all_tokens[prompt_reset_since:] or None
 
             result = None
             for ti, temp in enumerate(temperatures):
@@ -601,8 +605,10 @@ class WhisperEngine:
                 )
             all_tokens.extend(toks)
             seek += frames_consumed
-            if temp > 0.5:
-                # high-temperature fallback output is unreliable context
+            if temp > 0.5 or not condition_on_previous_text:
+                # high-temperature fallback output is unreliable
+                # context; without conditioning, only initial_prompt
+                # (already consumed) ever reaches the decoder
                 prompt_reset_since = len(all_tokens)
 
         if time_map is not None:
