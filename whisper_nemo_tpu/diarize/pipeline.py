@@ -107,6 +107,13 @@ class NeuralDiarizer:
             # threshold, collapsing the downstream benchmark workload)
             self.vad_params = None
 
+        # converted pyannote segmentation (tools/convert_pyannote.py)
+        # serves as the neural VAD when no MarbleNet checkpoint exists
+        self.pyannet_params = None
+        pyannet_ckpt = os.path.join(cache, "pyannote_segmentation.npz")
+        if self.vad_params is None and os.path.exists(pyannet_ckpt):
+            self.pyannet_params = load_params(pyannet_ckpt)
+
         spk_name = d.speaker_embeddings.model_path or "titanet_large"
         spk_ckpt = os.path.join(cache, f"{spk_name}.npz")
         if spk_name == "ecapa_tdnn":
@@ -230,6 +237,21 @@ class NeuralDiarizer:
                         self.vad_params, feats, self.marblenet_dims
                     )[0]
                 )
+        elif self.pyannet_params is not None:
+            from ..models import pyannet
+
+            native = np.asarray(
+                pyannet.speech_probs(
+                    self.pyannet_params, jnp.asarray(audio)[None]
+                )[0]
+            )
+            # PyanNet frames (~16.9 ms hop) → the 10 ms VAD grid
+            fps = pyannet.frames_per_second()
+            t_native = (np.arange(len(native)) + 0.5) / fps
+            n10 = max(1, int(len(audio) / SAMPLE_RATE
+                             / max(p.shift_length_in_sec, 1e-6)))
+            t10 = (np.arange(n10) + 0.5) * p.shift_length_in_sec
+            probs = np.interp(t10, t_native, native)
         else:
             probs = frame_energy_probs(
                 audio, frame_shift=p.shift_length_in_sec,
