@@ -102,9 +102,18 @@ def multihead_attention(q, k, v, mask=None, impl: Optional[str] = None):
 
     ``mask`` forces the XLA path (the flash kernel covers the unmasked
     encoder case; decode-time masking stays in XLA where query length
-    is 1 and flash has nothing to win).
+    is 1 and flash has nothing to win). Cross-attention (q and kv of
+    different lengths — e.g. the decode prefill's prompt-vs-audio
+    attention) also stays in XLA: the flash wrapper pads q and kv by
+    the same q-derived amount, which only lines up for self-attention,
+    and at prompt lengths (≤65) flash has nothing to win anyway.
     """
     impl = impl or _resolve_impl()
-    if impl == "flash" and mask is None and q.shape[1] > 1:
+    if (
+        impl == "flash"
+        and mask is None
+        and q.shape[1] > 1
+        and q.shape[1] == k.shape[1]
+    ):
         return _flash_attention(q, k, v)
     return _xla_attention(q, k, v, mask)
