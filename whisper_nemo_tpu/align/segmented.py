@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ctc import NEG_INF, _viterbi_backtrack, _viterbi_forward, add_star_column
+from ..ops.ctc import NEG_INF, _viterbi_backtrack, add_star_column
 from .api import AlignmentModel, AlignmentTokenizer, generate_emissions
 from .text import preprocess_text
 

@@ -24,7 +24,6 @@ NeMo's key naming and compare torch vs converted-JAX forward passes.
 from __future__ import annotations
 
 import io
-import json
 import logging
 import tarfile
 from dataclasses import asdict

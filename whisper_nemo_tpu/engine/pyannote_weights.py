@@ -20,7 +20,7 @@ fetched; the tests build torch replicas with pyannote's key naming).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import numpy as np
 

@@ -29,7 +29,7 @@ Param layout (all folded-BN, matching engine/nemo_weights.py output):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
