@@ -132,3 +132,56 @@ def test_handler_invalid_input(serving_with_test_models):
     )
     assert result["success"] is False
     assert "error" in result
+
+
+def test_stream_route_ndjson(serving_with_test_models):
+    """POST /stream: chunked PCM in, NDJSON committed words + final
+    done line out — exercised over a real aiohttp socket."""
+    import asyncio
+    import json
+
+    handler_mod = serving_with_test_models
+
+    async def run():
+        from aiohttp import web
+        from aiohttp.test_utils import TestClient, TestServer
+
+        app = web.Application()
+        app.router.add_post("/stream", handler_mod.stream_route)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            async def pcm_chunks():
+                rng = np.random.default_rng(1)
+                for _ in range(3):  # 3 x 1 s of s16 PCM
+                    samples = (rng.standard_normal(16000) * 3000).astype(
+                        "<i2"
+                    )
+                    yield samples.tobytes()
+
+            resp = await client.post(
+                "/stream?language=en", data=pcm_chunks()
+            )
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith(
+                "application/x-ndjson"
+            )
+            lines = [
+                json.loads(l)
+                for l in (await resp.text()).splitlines() if l
+            ]
+            assert lines, "no NDJSON lines"
+            assert lines[-1].get("done") is True
+            assert "text" in lines[-1]
+            for word in lines[:-1]:
+                assert set(word) == {"word", "start", "end"}
+                assert word["end"] >= word["start"] >= 0
+
+            # probe: bad format is a clean 400
+            bad = await client.post("/stream?format=mp3", data=b"xx")
+            assert bad.status == 400
+            assert "unknown format" in (await bad.json())["error"]
+        finally:
+            await client.close()
+
+    asyncio.run(run())

@@ -216,9 +216,82 @@ async def handler(job: Dict[str, Any]) -> Dict[str, Any]:
         return {"success": False, "error": f"Handler error: {exc}"}
 
 
+def _ndjson(obj: Dict[str, Any]) -> bytes:
+    import json
+
+    return (json.dumps(obj, ensure_ascii=False) + "\n").encode()
+
+
+async def stream_route(request) -> "web.StreamResponse":
+    """POST /stream: live transcription over one HTTP exchange.
+
+    The request body is a chunked stream of raw 16 kHz mono PCM
+    (``?format=s16`` int16 little-endian, the default, or
+    ``?format=f32``); the response streams NDJSON — one line per
+    committed word as the LocalAgreement policy stabilizes it, then a
+    final ``{"done": true, "text": ...}``. Decode refreshes run in a
+    worker thread so the event loop keeps draining the socket.
+    """
+    from aiohttp import web
+
+    import numpy as np
+
+    from ..engine.streaming import StreamingTranscriber
+
+    fmt = request.query.get("format", "s16")
+    if fmt not in ("s16", "f32"):
+        return web.json_response(
+            {"error": f"unknown format {fmt!r} (use s16 or f32)"},
+            status=400,
+        )
+    itemsize = 2 if fmt == "s16" else 4
+    language = request.query.get("language")
+
+    resp = web.StreamResponse(
+        headers={"Content-Type": "application/x-ndjson"}
+    )
+    await resp.prepare(request)
+
+    st = StreamingTranscriber(
+        whisper_model.engine, language=language, min_refresh_s=2.0
+    )
+    loop = asyncio.get_running_loop()
+
+    async def emit(words) -> None:
+        for w in words:
+            await resp.write(_ndjson(
+                {"word": w.word, "start": round(w.start, 3),
+                 "end": round(w.end, 3)}
+            ))
+
+    remainder = b""
+    async for chunk in request.content.iter_chunked(65536):
+        data = remainder + chunk
+        usable = len(data) - len(data) % itemsize
+        remainder = data[usable:]
+        if not usable:
+            continue
+        if fmt == "s16":
+            samples = (
+                np.frombuffer(data[:usable], "<i2").astype(np.float32)
+                / 32768.0
+            )
+        else:
+            samples = np.frombuffer(data[:usable], "<f4").astype(
+                np.float32
+            )
+        words = await loop.run_in_executor(None, st.push, samples)
+        await emit(words)
+    await emit(await loop.run_in_executor(None, st.flush))
+    await resp.write(_ndjson({"done": True, "text": st.text}))
+    await resp.write_eof()
+    return resp
+
+
 def serve(host: str = "0.0.0.0", port: int = 8000) -> None:
     """Minimal HTTP job server: POST /run with ``{"input": {...}}``
-    (the runpod.serverless.start stand-in, main.py:558)."""
+    (the runpod.serverless.start stand-in, main.py:558), plus
+    POST /stream for live NDJSON transcription."""
     from aiohttp import web
 
     load_models()
@@ -235,6 +308,7 @@ def serve(host: str = "0.0.0.0", port: int = 8000) -> None:
 
     app = web.Application()
     app.router.add_post("/run", run_route)
+    app.router.add_post("/stream", stream_route)
     app.router.add_get("/health", health)
     web.run_app(app, host=host, port=port)
 
