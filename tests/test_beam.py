@@ -86,6 +86,32 @@ def test_beam_tokens_shape_and_eot(setup):
     assert (np.asarray(bn) >= 0).all() and (np.asarray(bn) <= 1).all()
 
 
+def test_beam_stacked_matches_unstacked(setup):
+    """Beam on layer-stacked params (the engine's compile-time path)
+    must reproduce the canonical per-layer beam exactly."""
+    from whisper_nemo_tpu.models.whisper_stacked import stack_decoder_blocks
+
+    params, dims, feats, prompt, opts, mask = setup
+    stacked = stack_decoder_blocks(params)
+    for kv_int8 in (False, True):
+        ut, ul, us, un = beam_decode(
+            params, feats, prompt, mask, dims, opts, n_prompt=4,
+            beam_size=3, kv_int8=kv_int8,
+        )
+        st, sl, ss, sn = beam_decode(
+            stacked, feats, prompt, mask, dims, opts, n_prompt=4,
+            beam_size=3, kv_int8=kv_int8,
+        )
+        np.testing.assert_array_equal(np.asarray(ut), np.asarray(st))
+        np.testing.assert_array_equal(np.asarray(ul), np.asarray(sl))
+        np.testing.assert_allclose(
+            np.asarray(us), np.asarray(ss), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(un), np.asarray(sn), atol=1e-4
+        )
+
+
 def test_beam_with_conditioning_prefix(setup):
     """Beam + left-padded conditioning: empty prefix must reproduce the
     unconditioned beam on a long token prefix (mask/offset machinery)."""

@@ -358,10 +358,69 @@ def beam_decode(
     def expand(x):
         return jnp.repeat(x, k, axis=0)
 
-    base_kv = cross_attention_kv(params, audio, dims)
-    if kv_int8:
-        base_kv = quantize_cross_kv(base_kv)
+    # layer-stacked params compile one scan body instead of
+    # n_text_layer unrolled layer graphs (same speedup as the greedy
+    # loop; the stacked cache carries layers on a leading axis, so beam
+    # reindexing gathers along axis 1 instead of axis 0)
+    stacked = "blocks_stacked" in params["decoder"]
     cache_len = min(dims.n_text_ctx, -(-max_len // 128) * 128)
+    if stacked:
+        from ..models.whisper_stacked import (
+            cross_attention_kv_stacked,
+            decode_step_stacked,
+            init_stacked_cache,
+            prefill_cache_stacked,
+            quantize_cross_kv_stacked,
+        )
+
+        base_kv = cross_attention_kv_stacked(params, audio, dims)
+        if kv_int8:
+            base_kv = quantize_cross_kv_stacked(base_kv)
+        step_fn = decode_step_stacked
+
+        def expand_cache(c):
+            return jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, k, axis=1), c
+            )
+
+        def gather_cache(c, idx):
+            return {"k": c["k"][:, idx], "v": c["v"][:, idx]}
+
+        def expand_cross(ckv):
+            out = {}
+            for name, x in ckv.items():
+                # per-layer scales ([L, H, D]) have no batch axis
+                out[name] = (
+                    x if name.endswith("_scale")
+                    else jnp.repeat(x, k, axis=1)
+                )
+            return out
+    else:
+        base_kv = cross_attention_kv(params, audio, dims)
+        if kv_int8:
+            base_kv = quantize_cross_kv(base_kv)
+        step_fn = decode_step
+
+        def expand_cache(c):
+            return [
+                {"k": expand(kv["k"]), "v": expand(kv["v"])} for kv in c
+            ]
+
+        def gather_cache(c, idx):
+            return [
+                {"k": kv["k"][idx], "v": kv["v"][idx]} for kv in c
+            ]
+
+        def expand_cross(ckv):
+            return [
+                {
+                    name: (
+                        x if name.endswith("_scale") else expand(x)
+                    )
+                    for name, x in layer_kv.items()
+                }
+                for layer_kv in ckv
+            ]
 
     if prompt_valid is None:
         kv_valid_b = pos_offset_b = None
@@ -381,11 +440,18 @@ def beam_decode(
     # sequential B·K-wide loop steps
     from ..models.whisper import _vocab_logits, prefill_cache
 
-    cache_b = init_kv_cache(b, dims, dtype, cache_len=cache_len)
-    x_pf, cache_b = prefill_cache(
-        params, prompt.astype(jnp.int32), cache_b, base_kv, dims, dtype,
-        kv_valid=kv_valid_b, pos_offset=pos_offset_b,
-    )
+    if stacked:
+        cache_b = init_stacked_cache(b, dims, dtype, cache_len=cache_len)
+        x_pf, cache_b = prefill_cache_stacked(
+            params, prompt.astype(jnp.int32), cache_b, base_kv, dims,
+            dtype, kv_valid=kv_valid_b, pos_offset=pos_offset_b,
+        )
+    else:
+        cache_b = init_kv_cache(b, dims, dtype, cache_len=cache_len)
+        x_pf, cache_b = prefill_cache(
+            params, prompt.astype(jnp.int32), cache_b, base_kv, dims,
+            dtype, kv_valid=kv_valid_b, pos_offset=pos_offset_b,
+        )
     dec = params["decoder"]
     first_logits = expand(
         _vocab_logits(dec, x_pf[:, -1, :]).astype(jnp.float32)
@@ -397,24 +463,8 @@ def beam_decode(
         _vocab_logits(dec, x_sot).astype(jnp.float32), axis=-1
     )[:, opts.no_speech]  # [B]
 
-    cache = [
-        {"k": expand(kv["k"]), "v": expand(kv["v"])} for kv in cache_b
-    ]
-    if kv_int8:
-        cross_kv = [
-            {
-                "k_q": expand(ckv["k_q"]),
-                "v_q": expand(ckv["v_q"]),
-                "k_scale": ckv["k_scale"],
-                "v_scale": ckv["v_scale"],
-            }
-            for ckv in base_kv
-        ]
-    else:
-        cross_kv = [
-            {"k": expand(ckv["k"]), "v": expand(ckv["v"])}
-            for ckv in base_kv
-        ]
+    cache = expand_cache(cache_b)
+    cross_kv = expand_cross(base_kv)
 
     tokens = jnp.zeros((bk, max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(
@@ -473,17 +523,11 @@ def beam_decode(
 
         tokens = tokens[gather_idx]
         tokens = tokens.at[jnp.arange(bk), pos].set(new_tok.reshape(bk))
-        cache = [
-            {
-                "k": kv["k"][gather_idx],
-                "v": kv["v"][gather_idx],
-            }
-            for kv in cache
-        ]
+        cache = gather_cache(cache, gather_idx)
         finished = finished[gather_idx] | (
             new_tok.reshape(bk) == opts.eot
         )
-        next_logits, cache = decode_step(
+        next_logits, cache = step_fn(
             params, new_tok.reshape(bk), pos, cache, cross_kv, dims,
             dtype, kv_valid=kv_valid, pos_offset=pos_offset,
         )  # logits for pos + 1

@@ -317,11 +317,16 @@ class WhisperEngine:
                     [valid, np.ones((b, len(sot_seq)), bool)], axis=1
                 )
             )
+        decode_params = (
+            self._params_stacked
+            if self._params_stacked is not None
+            else self.params
+        )
         if beam_size > 1 and temperature == 0.0:
             from .decode import beam_decode
 
             tokens, length, sum_logprob, no_speech = beam_decode(
-                self.params,
+                decode_params,
                 feats,
                 prompt_arr,
                 jnp.asarray(suppress_mask),
@@ -334,11 +339,6 @@ class WhisperEngine:
                 prompt_valid=prompt_valid,
             )
         else:
-            decode_params = (
-                self._params_stacked
-                if self._params_stacked is not None
-                else self.params
-            )
             tokens, length, sum_logprob, no_speech = greedy_decode(
                 decode_params,
                 feats,
