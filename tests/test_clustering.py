@@ -143,3 +143,56 @@ def test_nystrom_matches_exact_on_moderate_n():
         (approx == exact).mean(), (approx == 1 - exact).mean()
     )
     assert agree > 0.95
+
+
+def test_enhanced_count_on_small_n():
+    """Enhanced counting (anchor augmentation) recovers the speaker
+    count on short sessions where N < enhanced_count_thres (contract:
+    reference telephonic.yaml:50, active below 80 segments)."""
+    from whisper_nemo_tpu.diarize.clustering import enhanced_speaker_count
+
+    for n_spk in (2, 3):
+        embs, _ = _gaussian_speakers(12, n_spk, sep=8.0, seed=n_spk)
+        assert enhanced_speaker_count(embs) == n_spk
+
+
+def test_enhanced_count_thres_changes_estimate():
+    """The knob must be consumed: with a tiny ambiguous session the
+    enhanced path and the plain eigengap path may disagree, and the
+    labels must still cover the enhanced-path count."""
+    embs, true = _gaussian_speakers(10, 2, sep=8.0, seed=3)
+    labels_enh = nme_spectral_clustering(
+        embs, enhanced_count_thres=80
+    )
+    assert len(labels_enh) == len(true)
+    assert set(labels_enh) == {0, 1}
+    assert _clustering_accuracy(labels_enh, true) == 1.0
+    # above the threshold the enhanced path must NOT run (N=20 >= 10)
+    labels_plain = nme_spectral_clustering(
+        embs, enhanced_count_thres=10
+    )
+    assert len(labels_plain) == len(true)
+
+
+def test_maj_vote_spk_count():
+    """Majority-vote counting takes the mode over probed p values
+    (contract: telephonic.yaml:51)."""
+    embs, true = _gaussian_speakers(30, 3, sep=8.0, seed=1)
+    aff = cosine_affinity(embs)
+    _, est_maj = nmesc_search(aff, maj_vote_spk_count=True)
+    assert est_maj == 3
+    labels = nme_spectral_clustering(embs, maj_vote_spk_count=True)
+    assert _clustering_accuracy(labels, true) == 1.0
+
+
+def test_pipeline_passes_counting_knobs():
+    """The diarizer config's enhanced_count_thres / maj_vote_spk_count
+    reach the clustering call (the knobs were dead in round 1)."""
+    import inspect
+
+    from whisper_nemo_tpu.diarize import pipeline as pl
+
+    src = inspect.getsource(pl.NeuralDiarizer.diarize if hasattr(
+        pl, "NeuralDiarizer") else pl)
+    assert "enhanced_count_thres=cl.enhanced_count_thres" in inspect.getsource(pl)
+    assert "maj_vote_spk_count=cl.maj_vote_spk_count" in inspect.getsource(pl)

@@ -96,12 +96,18 @@ def nmesc_search(
     max_rp_threshold: float = 0.25,
     sparse_search_volume: int = 30,
     search_subsample: int = 512,
+    maj_vote_spk_count: bool = False,
 ) -> Tuple[int, int]:
     """Search the neighbor count p minimizing the NME ratio.
 
     Returns (best_p, estimated_num_speakers). Contract: the
     max_rp_threshold bounds p ≤ N·max_rp; sparse_search_volume sets how
     many p values are probed (reference telephonic.yaml:52-53).
+
+    With ``maj_vote_spk_count`` (telephonic.yaml:51) the speaker count
+    is the mode of the estimates across every probed p value instead of
+    the estimate at the NME-optimal p — NeMo's majority-vote stabilizer
+    for noisy eigengaps.
 
     For large N the p-search runs on an evenly strided subsample of the
     affinity (each probe costs an O(n³) eigendecomposition; the chosen
@@ -121,11 +127,78 @@ def nmesc_search(
         np.linspace(1, p_max, num=min(sparse_search_volume, p_max)).astype(int)
     )
     best = (np.inf, 2, 1)  # (nme, p, n_spk)
+    estimates = []
     for p in candidates:
         nme, n_spk = _nme_ratio(search_aff, int(p), max_num_speakers)
+        estimates.append(n_spk)
         if nme < best[0]:
             best = (nme, int(p), n_spk)
-    return max(1, int(round(best[1] * scale))), best[2]
+    est = best[2]
+    if maj_vote_spk_count and estimates:
+        # mode; ties resolve to the smaller count (torch.mode semantics)
+        est = int(np.argmax(np.bincount(np.asarray(estimates))))
+    return max(1, int(round(best[1] * scale))), est
+
+
+def enhanced_speaker_count(
+    embeddings: np.ndarray,
+    random_test_count: int = 5,
+    anchor_spk_n: int = 3,
+    anchor_sample_n: int = 10,
+    anchor_spread: float = 0.1,
+) -> int:
+    """Anchor-augmented speaker counting for short sessions.
+
+    The short-session stabilizer behind NeMo's ``enhanced_count_thres``
+    knob (reference telephonic.yaml:50, active below 80 segments):
+    eigengap estimates are unstable when N is small, so ``anchor_spk_n``
+    synthetic speakers — each a tight cluster of ``anchor_sample_n``
+    samples around a random unit-sphere centroid (relative spread
+    ``anchor_spread``; random directions in embedding space are
+    near-orthogonal to the data and to each other) — are appended
+    before counting. The anchors pin ``anchor_spk_n`` clean clusters
+    into the spectrum so the gap after the real clusters is read
+    against a stable baseline. The trial repeats over
+    ``random_test_count`` seeds; the mode of the estimates minus the
+    anchor count (floored at 1) is the final count.
+    """
+    emb = np.asarray(embeddings, np.float32)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb / np.maximum(norms, 1e-8)  # cosine affinity is used anyway
+    emb_dim = emb.shape[1]
+    n_anchor = anchor_spk_n * anchor_sample_n
+    estimates = []
+    for seed in range(random_test_count):
+        rng = np.random.default_rng(seed)
+        new_embs = []
+        for _ in range(anchor_spk_n):
+            center = rng.standard_normal(emb_dim)
+            center /= max(np.linalg.norm(center), 1e-8)
+            noise = rng.standard_normal((anchor_sample_n, emb_dim))
+            noise /= np.maximum(
+                np.linalg.norm(noise, axis=1, keepdims=True), 1e-8
+            )
+            samples = center[None, :] + anchor_spread * noise
+            samples /= np.linalg.norm(samples, axis=1, keepdims=True)
+            new_embs.append(samples)
+        aug = np.vstack(new_embs + [emb]).astype(np.float32)
+        aff = cosine_affinity(aug)
+        # tighter rp bound and smaller search volume than the main
+        # clustering pass (NeMo's enhanced-counting NMESC settings),
+        # ceiling lifted so the anchors count as their own speakers;
+        # majority vote across probed p values — fragmented small-p
+        # graphs give outlier estimates, the p-consensus is the anchors
+        # plus the real clusters
+        _, est = nmesc_search(
+            aff,
+            max_num_speakers=min(aug.shape[0] - 1, n_anchor + emb.shape[0] // 2),
+            max_rp_threshold=0.15,
+            sparse_search_volume=10,
+            maj_vote_spk_count=True,
+        )
+        estimates.append(est)
+    mode = int(np.argmax(np.bincount(np.asarray(estimates))))
+    return max(mode - anchor_spk_n, 1)
 
 
 def _kmeans(
@@ -223,13 +296,20 @@ def nme_spectral_clustering(
     sparse_search_volume: int = 30,
     affinity: Optional[np.ndarray] = None,
     seed: int = 0,
+    enhanced_count_thres: int = 0,
+    maj_vote_spk_count: bool = False,
 ) -> np.ndarray:
     """Full NME-SC pipeline: embeddings (or a precomputed multiscale
     affinity) → per-segment speaker labels.
 
     ``num_speakers`` forces the oracle count (the pyannote-equivalent
     knob, reference main.py:150-159); otherwise the count is estimated
-    and clamped to [min_num_speakers, max_num_speakers].
+    and clamped to [min_num_speakers, max_num_speakers]. Below
+    ``enhanced_count_thres`` segments (telephonic.yaml:50 sets 80) the
+    estimate comes from anchor-augmented enhanced counting instead —
+    the short-session stabilizer for the telephonic sweet spot.
+    ``maj_vote_spk_count`` takes the mode over all probed p values
+    (telephonic.yaml:51).
     """
     if affinity is None:
         affinity = cosine_affinity(embeddings)
@@ -243,8 +323,15 @@ def nme_spectral_clustering(
         return np.arange(2, dtype=np.int32)
 
     best_p, est = nmesc_search(
-        affinity, max_num_speakers, max_rp_threshold, sparse_search_volume
+        affinity, max_num_speakers, max_rp_threshold, sparse_search_volume,
+        maj_vote_spk_count=maj_vote_spk_count,
     )
+    if (
+        num_speakers is None
+        and embeddings is not None
+        and 0 < n < enhanced_count_thres
+    ):
+        est = enhanced_speaker_count(embeddings)
     n_spk = num_speakers if num_speakers is not None else est
     n_spk = int(np.clip(n_spk, min_num_speakers, max_num_speakers))
     binarized = binarize_top_p(affinity, best_p)

@@ -405,6 +405,8 @@ class NeuralDiarizer:
             sparse_search_volume=cl.sparse_search_volume,
             affinity=affinity if len(scales) > 1 else None,
             min_num_speakers=min_speakers,
+            enhanced_count_thres=cl.enhanced_count_thres,
+            maj_vote_spk_count=cl.maj_vote_spk_count,
         )
 
         marks.append(("cluster", _time.time()))
