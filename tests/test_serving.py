@@ -85,7 +85,17 @@ def serving_with_test_models(monkeypatch, tmp_path):
 
     monkeypatch.setattr(handler_mod, "download_audio_file", fake_download)
     monkeypatch.setattr(handler_mod, "WHISPER_MODEL_NAME", "tiny")
-    return handler_mod
+
+    # the serving decode path: timestamped window scheduler
+    from whisper_nemo_tpu.serving.scheduler import WindowScheduler
+
+    scheduler = WindowScheduler(
+        shim.engine, batch_size=4, max_wait_s=0.3,
+        without_timestamps=False, max_new_tokens=8,
+    )
+    monkeypatch.setattr(handler_mod, "window_scheduler", scheduler)
+    yield handler_mod
+    scheduler.shutdown()
 
 
 def test_handler_full_job(serving_with_test_models):
@@ -123,6 +133,94 @@ def test_handler_transcription_only(serving_with_test_models):
     assert result["success"] is True
     assert result["transcription_formatee"] is None
     assert "nombre_segments" in result["statistiques"]
+
+
+def test_handler_fallback_without_scheduler(serving_with_test_models, monkeypatch):
+    """WNT_SERVING_SCHEDULER=0 routes through the sequential
+    openai-whisper facade (the reference-faithful path)."""
+    handler_mod = serving_with_test_models
+    monkeypatch.setenv("WNT_SERVING_SCHEDULER", "0")
+    job = {
+        "input": {
+            "audio_url": "https://example.com/audio.wav",
+            "language": "en",
+            "transcription_only": True,
+        }
+    }
+    result = asyncio.run(handler_mod.handler(job))
+    assert result["success"] is True
+
+
+def test_warmup_runs_serving_decode_path(serving_with_test_models):
+    """warmup() must push a dummy window through the scheduler without
+    raising (the reference's import-time fail-fast, main.py:33-38)."""
+    handler_mod = serving_with_test_models
+    batches = []
+    orig = handler_mod.window_scheduler._process
+
+    def spy(items):
+        batches.append(len(items))
+        return orig(items)
+
+    handler_mod.window_scheduler._process = spy
+    try:
+        handler_mod.warmup()
+    finally:
+        handler_mod.window_scheduler._process = orig
+    assert batches, "warmup did not reach the scheduler"
+
+
+def test_concurrent_jobs_share_scheduler_batch(serving_with_test_models):
+    """Two concurrent /run jobs over the real HTTP surface must ride
+    one decode batch through the shared scheduler."""
+    handler_mod = serving_with_test_models
+    batch_sizes = []
+    orig = handler_mod.window_scheduler._process
+
+    def spy(items):
+        batch_sizes.append(len(items))
+        return orig(items)
+
+    handler_mod.window_scheduler._process = spy
+
+    async def run():
+        from aiohttp import web
+        from aiohttp.test_utils import TestClient, TestServer
+
+        app = web.Application()
+
+        async def run_route(request):
+            job = await request.json()
+            return web.json_response(await handler_mod.handler(job))
+
+        app.router.add_post("/run", run_route)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            job = {
+                "input": {
+                    "audio_url": "https://example.com/audio.wav",
+                    "language": "en",
+                    "transcription_only": True,
+                }
+            }
+            r1, r2 = await asyncio.gather(
+                client.post("/run", json=job),
+                client.post("/run", json=job),
+            )
+            j1, j2 = await r1.json(), await r2.json()
+            assert j1["success"], j1.get("error")
+            assert j2["success"], j2.get("error")
+        finally:
+            await client.close()
+
+    try:
+        asyncio.run(run())
+    finally:
+        handler_mod.window_scheduler._process = orig
+    assert max(batch_sizes) >= 2, (
+        f"jobs never shared a batch: {batch_sizes}"
+    )
 
 
 def test_handler_invalid_input(serving_with_test_models):

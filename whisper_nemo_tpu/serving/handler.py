@@ -35,15 +35,20 @@ WHISPER_MODEL_NAME = os.environ.get("WNT_SERVING_MODEL", "large-v2")
 
 whisper_model = None
 diarization_pipeline = None
+window_scheduler = None
 
 
-def load_models() -> None:
+def load_models(warm: bool = True) -> None:
     """Load the ASR engine and the diarization pipeline once
     (contract: main.py:102-138; placement is mesh-driven on TPU rather
-    than per-GPU device strings)."""
-    global whisper_model, diarization_pipeline
+    than per-GPU device strings), stand up the cross-request window
+    scheduler, and warm up so the first request pays steady-state
+    latency (the reference fails fast with an import-time GPU warmup,
+    main.py:33-38)."""
+    global whisper_model, diarization_pipeline, window_scheduler
     from ..asr import load_model
     from ..diarize import SpeakerDiarizationPipeline
+    from .scheduler import WindowScheduler
 
     logger.info("loading whisper %s", WHISPER_MODEL_NAME)
     whisper_model = load_model(WHISPER_MODEL_NAME)
@@ -51,7 +56,29 @@ def load_models() -> None:
     diarization_pipeline = SpeakerDiarizationPipeline.from_pretrained(
         "speaker-diarization"
     )
+    window_scheduler = WindowScheduler(
+        whisper_model.engine,
+        batch_size=int(os.environ.get("WNT_SERVING_BATCH", "16")),
+        without_timestamps=False,
+    )
+    if warm:
+        warmup()
     logger.info("models ready")
+
+
+def warmup() -> None:
+    """Compile the serving decode path and prime the device transfer
+    channel before the first request: one dummy window through the
+    scheduler (full encode + timestamped decode at the serving batch
+    shape). Raises on failure — the fail-fast contract of the
+    reference's import-time GPU check (main.py:33-38)."""
+    import time
+
+    import numpy as np
+
+    t0 = time.time()
+    window_scheduler.transcribe(np.zeros(16000, np.float32), "en")
+    logger.info("warmup done in %.1fs", time.time() - t0)
 
 
 def _diarization_turns(
@@ -72,6 +99,41 @@ def _diarization_turns(
     ]
 
 
+def _transcribe_via_scheduler(audio_path: str, language: Optional[str]) -> dict:
+    """Batched serving transcription through the shared window
+    scheduler (cross-request continuous batching at window
+    granularity), returning the openai-whisper dict contract the rest
+    of the handler consumes."""
+    import numpy as np
+
+    from ..audio.decode import decode_audio
+
+    audio = np.asarray(decode_audio(audio_path), np.float32)
+    if language is None:
+        language, _ = whisper_model.engine.detect_language(audio)
+    segments = window_scheduler.transcribe(audio, language)
+    return {
+        "text": "".join(s.text for s in segments),
+        "segments": [
+            {
+                "id": s.id,
+                "seek": s.seek,
+                "start": s.start,
+                "end": s.end,
+                "text": s.text,
+                "tokens": s.tokens,
+                "temperature": s.temperature,
+                "avg_logprob": s.avg_logprob,
+                "compression_ratio": s.compression_ratio,
+                "no_speech_prob": s.no_speech_prob,
+            }
+            for s in segments
+        ],
+        "language": language,
+        "duration": len(audio) / 16000.0,
+    }
+
+
 async def process_transcription_optimized(
     audio_path: str, request: TranscriptionRequest
 ) -> TranscriptionResponse:
@@ -80,17 +142,28 @@ async def process_transcription_optimized(
     start_time = datetime.now()
     try:
         language = None if request.language == "auto" else request.language
-        transcription = whisper_model.transcribe(
-            audio_path,
-            language=language,
-            fp16=True,
-            condition_on_previous_text=False,
-            no_speech_threshold=0.6,
-            logprob_threshold=-1.0,
-            compression_ratio_threshold=2.4,
-            temperature=0.0,
-            verbose=False,
+        use_scheduler = window_scheduler is not None and (
+            os.environ.get("WNT_SERVING_SCHEDULER", "1") != "0"
         )
+        if use_scheduler:
+            # off the event loop: blocking future-gathers must not
+            # stall other requests' submissions (two concurrent jobs
+            # share a decode batch only if both can enqueue)
+            transcription = await asyncio.get_running_loop().run_in_executor(
+                None, _transcribe_via_scheduler, audio_path, language
+            )
+        else:
+            transcription = whisper_model.transcribe(
+                audio_path,
+                language=language,
+                fp16=True,
+                condition_on_previous_text=False,
+                no_speech_threshold=0.6,
+                logprob_threshold=-1.0,
+                compression_ratio_threshold=2.4,
+                temperature=0.0,
+                verbose=False,
+            )
 
         if request.transcription_only:
             elapsed = (datetime.now() - start_time).total_seconds()

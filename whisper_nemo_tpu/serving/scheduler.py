@@ -57,12 +57,18 @@ class WindowScheduler:
         max_wait_s: float = 0.05,
         beam_size: int = 1,
         max_new_tokens: Optional[int] = None,
+        without_timestamps: bool = True,
     ):
         self.engine = engine
         self.batch_size = batch_size
         self.max_wait_s = max_wait_s
         self.beam_size = beam_size
         self.max_new_tokens = max_new_tokens
+        # timestamped mode decodes whisper's timestamp grammar and
+        # splits each window into sub-segments with real in-window
+        # times (what the serving merge with diarization turns needs);
+        # futures then resolve to List[Segment] instead of one Segment
+        self.without_timestamps = without_timestamps
         self._queue: "queue.Queue[_WindowItem]" = queue.Queue()
         self._suppress = build_suppress_mask(engine.dims.n_vocab, [])
         self._stop = threading.Event()
@@ -103,7 +109,13 @@ class WindowScheduler:
     ) -> List[Segment]:
         """Blocking convenience wrapper: submit and gather in order."""
         futures = self.submit_audio(audio, language)
-        return [f.result() for f in futures]
+        segments: List[Segment] = []
+        for f in futures:
+            result = f.result()
+            segments.extend(result if isinstance(result, list) else [result])
+        for i, seg in enumerate(segments):
+            seg.id = i
+        return segments
 
     def shutdown(self) -> None:
         self._stop.set()
@@ -156,7 +168,7 @@ class WindowScheduler:
                     feats,
                     language,
                     self._suppress,
-                    True,
+                    self.without_timestamps,
                     0.0,
                     beam_size=self.beam_size,
                     max_new_tokens=self.max_new_tokens,
@@ -164,17 +176,55 @@ class WindowScheduler:
             )
             for i, item in enumerate(group):
                 toks = tokens[i, n_prompt : n_prompt + lengths[i]].tolist()
-                text = self.engine.tokenizer.decode(toks)
-                item.future.set_result(
-                    Segment(
-                        id=0,
-                        seek=int(item.start_s * SAMPLE_RATE) // HOP_LENGTH,
-                        start=item.start_s,
-                        end=item.end_s,
-                        text=text,
-                        tokens=toks,
-                        avg_logprob=float(sum_lp[i]) / (int(lengths[i]) + 1),
-                        compression_ratio=compression_ratio(text),
-                        no_speech_prob=float(no_speech[i]),
+                avg_lp = float(sum_lp[i]) / (int(lengths[i]) + 1)
+                if self.without_timestamps:
+                    text = self.engine.tokenizer.decode(toks)
+                    item.future.set_result(
+                        Segment(
+                            id=0,
+                            seek=int(item.start_s * SAMPLE_RATE) // HOP_LENGTH,
+                            start=item.start_s,
+                            end=item.end_s,
+                            text=text,
+                            tokens=toks,
+                            avg_logprob=avg_lp,
+                            compression_ratio=compression_ratio(text),
+                            no_speech_prob=float(no_speech[i]),
+                        )
                     )
+                    continue
+                # timestamped mode: split the window on whisper's
+                # timestamp tokens; in-window times are relative to the
+                # window start (windows are contiguous original audio)
+                from ..engine.transcribe import _split_on_timestamps
+
+                window_duration = item.end_s - item.start_s
+                window_frames = max(
+                    1, int(round(window_duration / (HOP_LENGTH / SAMPLE_RATE)))
                 )
+                pieces, _ = _split_on_timestamps(
+                    toks,
+                    self.engine.tokenizer.timestamp_begin,
+                    item.start_s,
+                    window_duration,
+                    window_frames,
+                )
+                out: List[Segment] = []
+                for s_toks, s_start, s_end in pieces:
+                    s_text = self.engine.tokenizer.decode(s_toks)
+                    if not s_text.strip():
+                        continue
+                    out.append(
+                        Segment(
+                            id=0,
+                            seek=int(item.start_s * SAMPLE_RATE) // HOP_LENGTH,
+                            start=s_start,
+                            end=min(s_end, item.end_s),
+                            text=s_text,
+                            tokens=s_toks,
+                            avg_logprob=avg_lp,
+                            compression_ratio=compression_ratio(s_text),
+                            no_speech_prob=float(no_speech[i]),
+                        )
+                    )
+                item.future.set_result(out)
