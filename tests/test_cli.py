@@ -68,3 +68,24 @@ def test_sequential_flow_in_process(short_wav, tmp_path, monkeypatch):
     # outputs are BOM-encoded like the reference (utf-8-sig)
     with open(base + ".srt", "rb") as f:
         assert f.read(3) == b"\xef\xbb\xbf"
+
+
+def test_sequential_asr_keeps_timed_segments(short_wav, monkeypatch):
+    """batch_size=0 (sequential+vad_filter) must still hand timed
+    segments to alignment: the engine restores segment times from the
+    VAD-concatenated stream to original-recording coordinates."""
+    monkeypatch.setenv("WNT_TEST_SMALL_MODELS", "1")
+    from whisper_nemo_tpu.cli.flow import run_asr
+
+    result = run_asr(
+        str(short_wav),
+        model_name="tiny.en",
+        batch_size=0,
+        language="en",
+        suppress_numerals=False,
+        device="cpu",
+    )
+    assert result.segments is not None, "timed-segment handoff dropped"
+    duration = len(result.audio) / 16000.0
+    for seg in result.segments:
+        assert 0.0 <= seg["start"] <= seg["end"] <= duration + 0.5

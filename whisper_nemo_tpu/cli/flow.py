@@ -196,10 +196,14 @@ def run_asr(
             audio, language, suppress_tokens=suppress, vad_filter=True
         )
         segments = list(segments)
-        # sequential path runs on VAD-concatenated audio; its segment
-        # times don't map to the original recording, so alignment falls
-        # back to the global transcript path
-        timed = None
+        # the engine restores sequential-path segment times from the
+        # VAD-concatenated audio back to the original recording
+        # (transcribe.py time_map), so the per-segment alignment fast
+        # path stays available here too
+        timed = [
+            {"start": s.start, "end": s.end, "text": s.text}
+            for s in segments
+        ]
     text = "".join(s.text for s in segments)
     return AsrResult(text, info.language, audio, timed)
 
