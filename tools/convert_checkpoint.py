@@ -3,8 +3,13 @@
 
 Usage:
     python tools/convert_checkpoint.py whisper <hf_dir> --name medium.en
+    python tools/convert_checkpoint.py whisper-pt <ckpt.pt> --name large-v2
     python tools/convert_checkpoint.py aligner <hf_dir>
     python tools/convert_checkpoint.py punctuation <hf_dir>
+
+``whisper-pt`` ingests OpenAI's published ``.pt`` checkpoints (the
+files ``whisper.load_model`` downloads — the fork path's source,
+reference main.py:110).
 
 ``<hf_dir>`` is a local directory holding ``config.json`` plus
 ``model.safetensors`` or ``pytorch_model.bin`` (and, for whisper,
@@ -66,6 +71,27 @@ def convert_whisper(hf_dir: str, name: str, out_dir: str) -> str:
     return out
 
 
+def convert_whisper_pt(pt_path: str, name: str, out_dir: str) -> str:
+    """OpenAI-layout ``.pt`` (what ``whisper.load_model`` downloads;
+    reference main.py:110) → .npz param tree."""
+    import torch
+
+    from whisper_nemo_tpu.engine.checkpoint import save_params
+    from whisper_nemo_tpu.engine.weights import (
+        convert_openai_whisper_state_dict,
+        dims_from_openai_dims,
+    )
+
+    ckpt = torch.load(pt_path, map_location="cpu", weights_only=True)
+    dims = dims_from_openai_dims(ckpt["dims"])
+    params = convert_openai_whisper_state_dict(
+        ckpt["model_state_dict"], dims
+    )
+    out = os.path.join(out_dir, f"{name}.npz")
+    save_params(out, params)
+    return out
+
+
 def convert_aligner(hf_dir: str, out_dir: str) -> str:
     from types import SimpleNamespace
 
@@ -119,9 +145,12 @@ def main() -> None:
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
-        "kind", choices=["whisper", "aligner", "punctuation"]
+        "kind", choices=["whisper", "whisper-pt", "aligner", "punctuation"]
     )
-    parser.add_argument("hf_dir", help="local HF checkpoint directory")
+    parser.add_argument(
+        "hf_dir",
+        help="local HF checkpoint directory (or .pt file for whisper-pt)",
+    )
     parser.add_argument(
         "--name", default=None,
         help="model name (whisper: e.g. medium.en; punctuation: hub id)",
@@ -136,6 +165,10 @@ def main() -> None:
         if not args.name:
             parser.error("whisper conversion requires --name (e.g. medium.en)")
         out = convert_whisper(args.hf_dir, args.name, out_dir)
+    elif args.kind == "whisper-pt":
+        if not args.name:
+            parser.error("whisper-pt conversion requires --name (e.g. large-v2)")
+        out = convert_whisper_pt(args.hf_dir, args.name, out_dir)
     elif args.kind == "aligner":
         out = convert_aligner(args.hf_dir, out_dir)
     else:
