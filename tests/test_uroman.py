@@ -66,8 +66,28 @@ def test_preprocess_text_multiscript():
     ]
 
 
-def test_han_passthrough_degrades_to_star():
-    # unmapped ideographs survive romanize() untouched; normalize_word
-    # then drops them (non-\w punctuation is kept out by regex, CJK
-    # word chars remain) — the aligner dictionary maps them to <star>
-    assert romanize("中国") == "中国"
+def test_han_pinyin_romanization():
+    """Frequent hanzi map to toneless pinyin (the reference's uroman
+    produces pinyin; diarize.py:170-174 call site)."""
+    assert romanize("中国") == "zhongguo"
+    assert romanize("你好") == "nihao"
+    assert romanize("学习") == "xuexi"
+    assert romanize("北京大学") == "beijingdaxue"
+    assert needs_romanization("中国")
+
+
+def test_han_rare_char_degrades_to_star():
+    # ideographs outside the frequent-character table survive
+    # romanize() untouched; the aligner dictionary maps them to <star>
+    rare = "齉"  # 齉, far outside the top-1500
+    assert romanize(rare) == rare
+
+
+def test_zh_alignment_tokens_are_pinyin():
+    """preprocess_text for zh yields pinyin alignment tokens instead of
+    <star> wildcards (alignment gets real acoustic anchors)."""
+    tokens, starred = preprocess_text("中国 很 好", language="zho")
+    assert tokens == [
+        "<star>", "zhongguo", "<star>", "hen", "<star>", "hao"
+    ]
+    assert starred == ["<star>", "中国", "<star>", "很", "<star>", "好"]

@@ -18,15 +18,17 @@ string munging on the TPU). Coverage, per script:
 * Hangul — exact Revised-Romanization decomposition of the syllable
   block (algorithmic, covers all 11,172 syllables)
 * Devanagari — consonants with inherent ``a``, vowel signs, virama
-
-Han ideographs are passed through (uroman's pinyin table is ~40k
-entries of Unihan data; untranslated CJK falls back to ``<star>`` in
-the aligner dictionary, which keeps alignment well-defined).
+* Han ideographs — toneless pinyin for the 1,500 most frequent
+  simplified characters (``pinyin_data.PINYIN``); rarer hanzi pass
+  through and fall back to ``<star>`` in the aligner dictionary,
+  which keeps alignment well-defined
 """
 
 from __future__ import annotations
 
 import unicodedata
+
+from .pinyin_data import PINYIN
 
 _CYRILLIC = {
     "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
@@ -168,6 +170,12 @@ def romanize(text: str) -> str:
         ch = text[i]
         cp = ord(ch)
 
+        # Han ideograph: pinyin for the frequent-character table
+        if 0x4E00 <= cp <= 0x9FFF:
+            out.append(PINYIN.get(ch, ch))
+            i += 1
+            continue
+
         # Hangul syllable block: exact RR decomposition
         if 0xAC00 <= cp <= 0xD7A3:
             idx = cp - 0xAC00
@@ -260,6 +268,7 @@ def needs_romanization(text: str) -> bool:
             or 0x0590 <= cp <= 0x06FF  # Hebrew/Arabic
             or 0x0900 <= cp <= 0x097F  # Devanagari
             or 0x3040 <= cp <= 0x30FF  # kana
+            or 0x4E00 <= cp <= 0x9FFF  # Han (pinyin table)
             or 0xAC00 <= cp <= 0xD7A3  # Hangul
         ):
             return True
