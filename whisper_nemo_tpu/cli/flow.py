@@ -145,7 +145,7 @@ def maybe_separate_vocals(audio_path: str, stemming: bool, device: str,
     if not stemming:
         return audio_path
     try:
-        from ..models.demucs import separate_vocals
+        from ..models.htdemucs import separate_vocals
 
         return separate_vocals(audio_path, temp_dir, device)
     except Exception as exc:  # missing weights / unimplemented / OOM

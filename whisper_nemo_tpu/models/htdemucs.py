@@ -1,0 +1,854 @@
+"""Hybrid Transformer Demucs (htdemucs) in JAX — the reference's vocal
+separator (SURVEY D2: ``python -m demucs.separate -n htdemucs
+--two-stems=vocals``, /root/reference/diarize.py:98-100).
+
+Faithful re-implementation of the published htdemucs architecture
+(Rouard et al., "Hybrid Transformers for Music Source Separation",
+ICASSP 2023): a frequency-branch conv encoder over a complex-as-channels
+spectrogram and a time-branch conv encoder over the raw waveform, fused
+by a cross-domain transformer at the bottleneck, mirrored decoders with
+skip connections, and a complex spectral output summed with the time
+branch's waveform output.
+
+The param tree keeps torch tensor layouts verbatim (Conv: ``OIHW``,
+ConvTranspose: ``IOHW``, Linear: ``[out, in]``) so the checkpoint
+converter (``tools/convert_demucs.py``) is a pure re-keying with no
+transposition — every numeric convention here (exact GELU, GLU halves,
+GroupNorm over channels+time, torch.stft's normalized hann frames) is
+chosen to match torch inference of the released ``htdemucs`` weights.
+
+Long audio is separated in overlapping segments with triangular
+cross-fade weights (demucs' ``apply_model`` split contract) at the
+model's 44.1 kHz native rate; ``separate_vocals`` reproduces the CLI
+layout ``<out>/htdemucs/<track>/vocals.wav`` and raises when no
+converted checkpoint is installed so the caller falls back to the
+original audio exactly like the reference does on a non-zero demucs
+exit (diarize.py:102-107).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.checkpoint import load_params, model_cache_dir
+from ..utils import get_logger
+
+logger = get_logger(__name__)
+
+NATIVE_SAMPLE_RATE = 44100
+
+
+@dataclass(frozen=True)
+class HTDemucsDims:
+    sources: Tuple[str, ...] = ("drums", "bass", "other", "vocals")
+    audio_channels: int = 2
+    channels: int = 48
+    growth: int = 2
+    depth: int = 4
+    nfft: int = 4096
+    kernel_size: int = 8
+    stride: int = 4
+    # encoder rewrite is 1x1 (context_enc=0); decoder rewrite is 3-wide
+    context: int = 1
+    # DConv residual branches (encoders only: dconv_mode=1)
+    dconv_depth: int = 2
+    dconv_comp: int = 8
+    # frequency embedding after the first freq encoder layer
+    freq_emb_scale: float = 0.2
+    emb_scale: float = 10.0
+    # cross-domain transformer
+    bottom_channels: int = 512
+    t_layers: int = 5
+    t_heads: int = 8
+    t_hidden_scale: float = 4.0
+    max_period: float = 10000.0
+    # inference segmenting (use_train_segment: the released model was
+    # trained on 7.8 s windows and is applied at exactly that length)
+    segment: float = 7.8
+    samplerate: int = NATIVE_SAMPLE_RATE
+
+    @property
+    def hop_length(self) -> int:
+        return self.nfft // 4
+
+    @property
+    def freqs(self) -> int:
+        return self.nfft // 2
+
+    def layer_channels(self) -> List[int]:
+        out, c = [], self.channels
+        for _ in range(self.depth):
+            out.append(c)
+            c *= self.growth
+        return out
+
+
+# -- primitive ops on torch-layout tensors -----------------------------------
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _glu(x, axis=1):
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+def _conv1d(p, x, stride=1, padding=0, dilation=1):
+    """torch.nn.Conv1d: x [B, C, T], weight [O, I, K]."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=((padding, padding),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + p["bias"][None, :, None]
+
+
+def _conv2d(p, x, stride=(1, 1), padding=(0, 0)):
+    """torch.nn.Conv2d: x [B, C, H, W], weight [O, I, kH, kW]."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=stride,
+        padding=tuple((pp, pp) for pp in padding),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + p["bias"][None, :, None, None]
+
+
+def _conv_transpose1d(p, x, stride):
+    """torch.nn.ConvTranspose1d (padding=0): weight [I, O, K].
+
+    Expressed as an input-dilated convolution with the spatially
+    flipped, in/out-swapped kernel — torch's transpose semantics
+    without relying on backend transpose-padding conventions.
+    """
+    w = p["weight"]  # [I, O, K]
+    k = w.shape[-1]
+    w = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # [O, I, K]
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1,),
+        padding=((k - 1, k - 1),),
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + p["bias"][None, :, None]
+
+
+def _conv_transpose2d(p, x, stride):
+    """torch.nn.ConvTranspose2d (padding=0): weight [I, O, kH, kW]."""
+    w = p["weight"]
+    kh, kw = w.shape[-2:]
+    w = jnp.flip(w, axis=(-2, -1)).transpose(1, 0, 2, 3)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+        lhs_dilation=stride,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + p["bias"][None, :, None, None]
+
+
+def _group_norm1(p, x, eps=1e-5):
+    """torch GroupNorm(1, C) on [B, C, *spatial]: one group → mean/var
+    over channels AND spatial dims jointly (per sample)."""
+    axes = tuple(range(1, x.ndim))
+    mean = x.mean(axis=axes, keepdims=True)
+    var = x.var(axis=axes, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + eps)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return xn * p["weight"].reshape(shape) + p["bias"].reshape(shape)
+
+
+def _layer_norm(p, x, eps=1e-5):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["weight"] + p["bias"]
+
+
+def _linear(p, x):
+    return x @ p["weight"].T + p["bias"]
+
+
+# -- STFT with torch.stft semantics ------------------------------------------
+
+
+def _hann(n):
+    return 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(n) / n)
+
+
+def _stft(x: jnp.ndarray, nfft: int, hop: int) -> jnp.ndarray:
+    """torch.stft(center=True, pad_mode='reflect', normalized=True,
+    hann window) on [..., T] → complex [..., nfft//2+1, frames]."""
+    pad = nfft // 2
+    x = jnp.pad(
+        x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect"
+    )
+    n_frames = 1 + (x.shape[-1] - nfft) // hop
+    idx = jnp.arange(nfft)[None, :] + hop * jnp.arange(n_frames)[:, None]
+    frames = x[..., idx] * _hann(nfft)  # [..., frames, nfft]
+    z = jnp.fft.rfft(frames, axis=-1) / math.sqrt(nfft)
+    return jnp.swapaxes(z, -1, -2)  # [..., bins, frames]
+
+
+def _istft(z: jnp.ndarray, nfft: int, hop: int, length: int) -> jnp.ndarray:
+    """torch.istft(center=True, normalized=True, hann) inverse: complex
+    [..., bins, frames] → [..., length]."""
+    frames = jnp.fft.irfft(jnp.swapaxes(z, -1, -2), n=nfft, axis=-1)
+    frames = frames * math.sqrt(nfft)
+    win = _hann(nfft)
+    frames = frames * win
+    n_frames = frames.shape[-2]
+    total = nfft + hop * (n_frames - 1)
+    idx = jnp.arange(nfft)[None, :] + hop * jnp.arange(n_frames)[:, None]
+    lead = frames.shape[:-2]
+    flat = frames.reshape((-1, n_frames, nfft))
+    out = jnp.zeros((flat.shape[0], total), flat.dtype)
+    out = out.at[:, idx.reshape(-1)].add(flat.reshape(flat.shape[0], -1))
+    norm = jnp.zeros((total,)).at[idx.reshape(-1)].add(
+        jnp.tile(win * win, n_frames)
+    )
+    out = out / jnp.maximum(norm, 1e-11)
+    pad = nfft // 2
+    out = out[:, pad : pad + length]
+    return out.reshape(lead + (length,))
+
+
+def _spec(x: jnp.ndarray, dims: HTDemucsDims) -> jnp.ndarray:
+    """demucs' framing contract (hdemucs._spec): output has exactly
+    ceil(T/hop) frames so the freq and time branches align."""
+    hl, nfft = dims.hop_length, dims.nfft
+    le = int(math.ceil(x.shape[-1] / hl))
+    pad = hl // 2 * 3
+    x = jnp.pad(
+        x,
+        [(0, 0)] * (x.ndim - 1) + [(pad, pad + le * hl - x.shape[-1])],
+        mode="reflect",
+    )
+    z = _stft(x, nfft, hl)[..., :-1, :]  # drop the nyquist bin
+    return z[..., 2 : 2 + le]
+
+
+def _ispec(z: jnp.ndarray, dims: HTDemucsDims, length: int) -> jnp.ndarray:
+    hl = dims.hop_length
+    z = jnp.pad(z, [(0, 0)] * (z.ndim - 2) + [(0, 1), (2, 2)])
+    pad = hl // 2 * 3
+    le = hl * int(math.ceil(length / hl)) + 2 * pad
+    x = _istft(z, dims.nfft, hl, le)
+    return x[..., pad : pad + length]
+
+
+def _magnitude_cac(z: jnp.ndarray) -> jnp.ndarray:
+    """Complex [B, C, Fr, T] → real [B, 2C, Fr, T], channel-major
+    (c0_re, c0_im, c1_re, c1_im) — torch.view_as_real + permute."""
+    b, c, fr, t = z.shape
+    m = jnp.stack([z.real, z.imag], axis=2)  # [B, C, 2, Fr, T]
+    return m.reshape(b, c * 2, fr, t)
+
+
+def _mask_cac(m: jnp.ndarray) -> jnp.ndarray:
+    """Real [B, S, 2C, Fr, T] → complex [B, S, C, Fr, T]."""
+    b, s, c2, fr, t = m.shape
+    m = m.reshape(b, s, c2 // 2, 2, fr, t)
+    return jax.lax.complex(m[:, :, :, 0], m[:, :, :, 1])
+
+
+# -- layers -------------------------------------------------------------------
+
+
+def _dconv(p, x):
+    """demucs DConv: two dilated conv1d residual branches on [B, C, T].
+
+    torch submodule indices → tree keys: 0=conv1 (C→hid, k3, dil 2^d),
+    1=norm1 (GN), 2=GELU, 3=conv2 (hid→2C, k1), 4=norm2 (GN), 5=GLU,
+    6.scale=scale (LayerScale)."""
+    for d, lp in enumerate(p["layers"]):
+        dil = 2**d
+        y = _conv1d(lp["conv1"], x, padding=dil, dilation=dil)
+        y = _gelu(_group_norm1(lp["norm1"], y))
+        y = _conv1d(lp["conv2"], y)
+        y = _glu(_group_norm1(lp["norm2"], y), axis=1)
+        x = x + lp["scale"][None, :, None] * y
+    return x
+
+
+def _henc_freq(p, x, dims: HTDemucsDims):
+    """HEncLayer(freq=True): conv over the frequency axis, DConv over
+    time per frequency bin, 1x1 rewrite + GLU."""
+    pad = dims.kernel_size // 4
+    x = _conv2d(
+        p["conv"], x, stride=(dims.stride, 1), padding=(pad, 0)
+    )
+    x = _gelu(x)
+    b, c, fr, t = x.shape
+    y = x.transpose(0, 2, 1, 3).reshape(b * fr, c, t)
+    y = _dconv(p["dconv"], y)
+    x = y.reshape(b, fr, c, t).transpose(0, 2, 1, 3)
+    return _glu(_conv2d(p["rewrite"], x), axis=1)
+
+
+def _henc_time(p, x, dims: HTDemucsDims):
+    """HEncLayer(freq=False) on [B, C, T]: pad T to a stride multiple,
+    strided conv, DConv, 1x1 rewrite + GLU."""
+    pad = dims.kernel_size // 4
+    rem = x.shape[-1] % dims.stride
+    if rem:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, dims.stride - rem)])
+    x = _conv1d(
+        p["conv"], x, stride=dims.stride, padding=pad
+    )
+    x = _gelu(x)
+    x = _dconv(p["dconv"], x)
+    return _glu(_conv1d(p["rewrite"], x), axis=1)
+
+
+def _hdec_freq(p, x, skip, dims: HTDemucsDims, last: bool):
+    """HDecLayer(freq=True): skip add, 3x3 rewrite + GLU, transposed
+    conv over frequency, trim the pad rows."""
+    x = x + skip
+    x = _glu(_conv2d(p["rewrite"], x, padding=(dims.context, dims.context)),
+             axis=1)
+    z = _conv_transpose2d(p["conv_tr"], x, (dims.stride, 1))
+    pad = dims.kernel_size // 4
+    z = z[:, :, pad:-pad, :]
+    return z if last else _gelu(z)
+
+
+def _hdec_time(p, x, skip, length: int, dims: HTDemucsDims, last: bool):
+    x = x + skip
+    x = _glu(_conv1d(p["rewrite"], x, padding=dims.context), axis=1)
+    z = _conv_transpose1d(p["conv_tr"], x, dims.stride)
+    pad = dims.kernel_size // 4
+    z = z[:, :, pad : pad + length]
+    return z if last else _gelu(z)
+
+
+# -- cross-domain transformer --------------------------------------------------
+
+
+def _sin_embedding_1d(length: int, dim: int, max_period: float):
+    """demucs create_sin_embedding: [T, dim], cos in the first half of
+    channels, sin in the second."""
+    pos = np.arange(length)[:, None].astype(np.float64)
+    half = dim // 2
+    adim = np.arange(half)[None, :].astype(np.float64)
+    phase = pos / (max_period ** (adim / (half - 1)))
+    return jnp.asarray(
+        np.concatenate([np.cos(phase), np.sin(phase)], axis=-1),
+        jnp.float32,
+    )
+
+
+def _sin_embedding_2d(dim: int, height: int, width: int, max_period: float):
+    """demucs create_2d_sin_embedding laid out as [width(T), height(Fr),
+    dim]: first half of channels encodes time, second half frequency,
+    sin/cos interleaved."""
+    if dim % 4 != 0:
+        raise ValueError("2D sin embedding needs dim % 4 == 0")
+    half = dim // 2
+    div = np.exp(
+        np.arange(0.0, half, 2) * -(math.log(max_period) / half)
+    )  # [half/2]
+    pos_w = np.arange(width)[:, None] * div[None, :]  # [W, half/2]
+    pos_h = np.arange(height)[:, None] * div[None, :]
+    emb = np.zeros((width, height, dim), np.float64)
+    emb[:, :, 0:half:2] = np.sin(pos_w)[:, None, :]
+    emb[:, :, 1:half:2] = np.cos(pos_w)[:, None, :]
+    emb[:, :, half::2] = np.sin(pos_h)[None, :, :]
+    emb[:, :, half + 1 :: 2] = np.cos(pos_h)[None, :, :]
+    return jnp.asarray(emb, jnp.float32)
+
+
+def _mha(p, q, k, v, n_heads: int):
+    """torch.nn.MultiheadAttention(batch_first=True) with packed
+    in_proj: [B, T, C] each."""
+    d = q.shape[-1]
+    w = p["in_proj_weight"]  # [3d, d]
+    b = p["in_proj_bias"]
+    qp = q @ w[:d].T + b[:d]
+    kp = k @ w[d : 2 * d].T + b[d : 2 * d]
+    vp = v @ w[2 * d :].T + b[2 * d :]
+
+    def heads(x):
+        bsz, t, _ = x.shape
+        return x.reshape(bsz, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(qp), heads(kp), heads(vp)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) / math.sqrt(d // n_heads)
+    attn = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+    bsz, _, t, _ = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(bsz, t, d)
+    return _linear(p["out_proj"], out)
+
+
+def _group_norm_seq(p, x, eps=1e-5):
+    """demucs MyGroupNorm(1, C) on [B, T, C]: normalize over T and C
+    jointly per sample."""
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["weight"] + p["bias"]
+
+
+def _t_self_layer(p, x, n_heads: int):
+    """MyTransformerEncoderLayer (norm_first, gelu, LayerScale,
+    GroupNorm output)."""
+    y = _layer_norm(p["norm1"], x)
+    x = x + p["gamma_1"]["scale"] * _mha(p["self_attn"], y, y, y, n_heads)
+    y = _layer_norm(p["norm2"], x)
+    y = _linear(p["linear2"], _gelu(_linear(p["linear1"], y)))
+    x = x + p["gamma_2"]["scale"] * y
+    return _group_norm_seq(p["norm_out"], x)
+
+
+def _t_cross_layer(p, q, k, n_heads: int):
+    """CrossTransformerEncoderLayer: q attends to k."""
+    qn = _layer_norm(p["norm1"], q)
+    kn = _layer_norm(p["norm2"], k)
+    x = q + p["gamma_1"]["scale"] * _mha(p["cross_attn"], qn, kn, kn, n_heads)
+    y = _layer_norm(p["norm3"], x)
+    y = _linear(p["linear2"], _gelu(_linear(p["linear1"], y)))
+    x = x + p["gamma_2"]["scale"] * y
+    return _group_norm_seq(p["norm_out"], x)
+
+
+def _cross_transformer(p, x, xt, dims: HTDemucsDims):
+    """CrossTransformerEncoder: x [B, C, Fr, T1] (spectral), xt
+    [B, C, T2] (temporal). Even layers: per-domain self-attention; odd
+    layers: cross-attention both ways."""
+    b, c, fr, t1 = x.shape
+    pos2d = _sin_embedding_2d(c, fr, t1, dims.max_period)  # [T1, Fr, C]
+    x = x.transpose(0, 3, 2, 1).reshape(b, t1 * fr, c)  # b (t1 fr) c
+    x = _layer_norm(p["norm_in"], x)
+    x = x + pos2d.reshape(t1 * fr, c)
+
+    t2 = xt.shape[-1]
+    pos1d = _sin_embedding_1d(t2, c, dims.max_period)
+    xt = xt.transpose(0, 2, 1)  # [B, T2, C]
+    xt = _layer_norm(p["norm_in_t"], xt)
+    xt = xt + pos1d
+
+    for idx in range(dims.t_layers):
+        if idx % 2 == 0:
+            x = _t_self_layer(p["layers"][idx], x, dims.t_heads)
+            xt = _t_self_layer(p["layers_t"][idx], xt, dims.t_heads)
+        else:
+            old_x = x
+            x = _t_cross_layer(p["layers"][idx], x, xt, dims.t_heads)
+            xt = _t_cross_layer(p["layers_t"][idx], xt, old_x, dims.t_heads)
+
+    x = x.reshape(b, t1, fr, c).transpose(0, 3, 2, 1)
+    xt = xt.transpose(0, 2, 1)
+    return x, xt
+
+
+# -- full forward --------------------------------------------------------------
+
+
+def htdemucs_forward(
+    params: Dict[str, Any], mix: jnp.ndarray, dims: HTDemucsDims
+) -> jnp.ndarray:
+    """[B, audio_channels, T] mix → [B, n_sources, audio_channels, T].
+
+    Mirrors HTDemucs.forward (demucs/htdemucs.py): spec + magnitude
+    normalization, dual encoders (freq embedding after freq layer 0),
+    bottom-channel upsampling around the cross-domain transformer,
+    skip-connected decoders, CaC mask → iSTFT, plus the denormalized
+    time-branch waveform."""
+    length = mix.shape[-1]
+    z = _spec(mix, dims)
+    mag = _magnitude_cac(z)
+    x = mag
+    b, _, fq, t = x.shape
+    mean = x.mean(axis=(1, 2, 3), keepdims=True)
+    std = x.std(axis=(1, 2, 3), keepdims=True)
+    x = (x - mean) / (1e-5 + std)
+
+    xt = mix
+    meant = xt.mean(axis=(1, 2), keepdims=True)
+    stdt = xt.std(axis=(1, 2), keepdims=True)
+    xt = (xt - meant) / (1e-5 + stdt)
+
+    saved, saved_t, lengths, lengths_t = [], [], [], []
+    for idx in range(dims.depth):
+        lengths.append(x.shape[-1])
+        lengths_t.append(xt.shape[-1])
+        xt = _henc_time(params["tencoder"][idx], xt, dims)
+        saved_t.append(xt)
+        x = _henc_freq(params["encoder"][idx], x, dims)
+        if idx == 0:
+            emb = (
+                params["freq_emb"]["embedding"]["weight"]
+                * dims.emb_scale
+            )  # [Fr, C]
+            x = x + dims.freq_emb_scale * emb.T[None, :, :, None]
+        saved.append(x)
+
+    if dims.bottom_channels:
+        bb, cc, ff, tt = x.shape
+        x = _conv1d(params["channel_upsampler"], x.reshape(bb, cc, ff * tt))
+        x = x.reshape(bb, -1, ff, tt)
+        xt = _conv1d(params["channel_upsampler_t"], xt)
+    x, xt = _cross_transformer(params["crosstransformer"], x, xt, dims)
+    if dims.bottom_channels:
+        bb, cc, ff, tt = x.shape
+        x = _conv1d(params["channel_downsampler"], x.reshape(bb, cc, ff * tt))
+        x = x.reshape(bb, -1, ff, tt)
+        xt = _conv1d(params["channel_downsampler_t"], xt)
+
+    for idx in range(dims.depth):
+        last = idx == dims.depth - 1
+        x = _hdec_freq(
+            params["decoder"][idx], x, saved.pop(), dims, last
+        )
+        xt = _hdec_time(
+            params["tdecoder"][idx], xt, saved_t.pop(), lengths_t.pop(),
+            dims, last,
+        )
+        lengths.pop()
+
+    n_src = len(dims.sources)
+    x = x.reshape(b, n_src, -1, fq, t)
+    x = x * std[:, None] + mean[:, None]
+    zout = _mask_cac(x)
+    spec_out = _ispec(zout, dims, length)
+
+    xt = xt.reshape(b, n_src, dims.audio_channels, length)
+    xt = xt * stdt[:, None] + meant[:, None]
+    return spec_out + xt
+
+
+# -- random init (tests / zero-egress fallback) --------------------------------
+
+
+def init_htdemucs_params(key, dims: HTDemucsDims) -> Dict[str, Any]:
+    """Random torch-layout param tree with exactly the shapes the
+    released checkpoint's state dict carries (converter contract)."""
+    counter = [0]
+
+    def nxt():
+        counter[0] += 1
+        return jax.random.fold_in(key, counter[0])
+
+    def tensor(*shape):
+        fan_in = int(np.prod(shape[1:])) or 1
+        return jax.random.normal(nxt(), shape) / math.sqrt(fan_in)
+
+    def conv(o, i, *k):
+        return {"weight": tensor(o, i, *k), "bias": jnp.zeros((o,))}
+
+    def conv_tr(i, o, *k):
+        return {"weight": tensor(i, o, *k), "bias": jnp.zeros((o,))}
+
+    def norm(c):
+        return {"weight": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+
+    def lin(o, i):
+        return {"weight": tensor(o, i), "bias": jnp.zeros((o,))}
+
+    def dconv(c):
+        hid = max(4, c // dims.dconv_comp)
+        layers = []
+        for _ in range(dims.dconv_depth):
+            layers.append(
+                {
+                    "conv1": conv(hid, c, 3),
+                    "norm1": norm(hid),
+                    "conv2": conv(2 * c, hid, 1),
+                    "norm2": norm(2 * c),
+                    "scale": jnp.full((c,), 1e-3),
+                }
+            )
+        return {"layers": layers}
+
+    chans = dims.layer_channels()
+    k = dims.kernel_size
+    enc, tenc, dec, tdec = [], [], [], []
+    for i, c in enumerate(chans):
+        cin_z = dims.audio_channels * 2 if i == 0 else chans[i - 1]
+        cin_t = dims.audio_channels if i == 0 else chans[i - 1]
+        enc.append(
+            {
+                "conv": conv(c, cin_z, k, 1),
+                "rewrite": conv(2 * c, c, 1, 1),
+                "dconv": dconv(c),
+            }
+        )
+        tenc.append(
+            {
+                "conv": conv(c, cin_t, k),
+                "rewrite": conv(2 * c, c, 1),
+                "dconv": dconv(c),
+            }
+        )
+    n_src = len(dims.sources)
+    # decoder state index order matches torch: decoder.0 is applied
+    # first (deepest); its output channels walk back down the stack
+    rev = list(reversed(chans))  # [384, 192, 96, 48] for the default
+    for i, c in enumerate(rev):
+        cout_z = rev[i + 1] if i + 1 < len(rev) else n_src * dims.audio_channels * 2
+        cout_t = rev[i + 1] if i + 1 < len(rev) else n_src * dims.audio_channels
+        dec.append(
+            {
+                "rewrite": conv(2 * c, c, 3, 3),
+                "conv_tr": conv_tr(c, cout_z, k, 1),
+            }
+        )
+        tdec.append(
+            {
+                "rewrite": conv(2 * c, c, 3),
+                "conv_tr": conv_tr(c, cout_t, k),
+            }
+        )
+
+    dim_t = dims.bottom_channels or chans[-1]
+    hidden = int(dims.t_hidden_scale * dim_t)
+
+    def t_self():
+        return {
+            "self_attn": {
+                "in_proj_weight": tensor(3 * dim_t, dim_t),
+                "in_proj_bias": jnp.zeros((3 * dim_t,)),
+                "out_proj": lin(dim_t, dim_t),
+            },
+            "linear1": lin(hidden, dim_t),
+            "linear2": lin(dim_t, hidden),
+            "norm1": norm(dim_t),
+            "norm2": norm(dim_t),
+            "norm_out": norm(dim_t),
+            "gamma_1": {"scale": jnp.full((dim_t,), 1e-4)},
+            "gamma_2": {"scale": jnp.full((dim_t,), 1e-4)},
+        }
+
+    def t_cross():
+        return {
+            "cross_attn": {
+                "in_proj_weight": tensor(3 * dim_t, dim_t),
+                "in_proj_bias": jnp.zeros((3 * dim_t,)),
+                "out_proj": lin(dim_t, dim_t),
+            },
+            "linear1": lin(hidden, dim_t),
+            "linear2": lin(dim_t, hidden),
+            "norm1": norm(dim_t),
+            "norm2": norm(dim_t),
+            "norm3": norm(dim_t),
+            "norm_out": norm(dim_t),
+            "gamma_1": {"scale": jnp.full((dim_t,), 1e-4)},
+            "gamma_2": {"scale": jnp.full((dim_t,), 1e-4)},
+        }
+
+    layers = [t_self() if i % 2 == 0 else t_cross() for i in range(dims.t_layers)]
+    layers_t = [t_self() if i % 2 == 0 else t_cross() for i in range(dims.t_layers)]
+
+    params = {
+        "encoder": enc,
+        "tencoder": tenc,
+        "decoder": dec,
+        "tdecoder": tdec,
+        "freq_emb": {
+            "embedding": {
+                "weight": tensor(dims.freqs // dims.stride, chans[0])
+                / dims.emb_scale
+            }
+        },
+        "crosstransformer": {
+            "norm_in": norm(dim_t),
+            "norm_in_t": norm(dim_t),
+            "layers": layers,
+            "layers_t": layers_t,
+        },
+    }
+    if dims.bottom_channels:
+        params["channel_upsampler"] = conv(dims.bottom_channels, chans[-1], 1)
+        params["channel_downsampler"] = conv(chans[-1], dims.bottom_channels, 1)
+        params["channel_upsampler_t"] = conv(dims.bottom_channels, chans[-1], 1)
+        params["channel_downsampler_t"] = conv(chans[-1], dims.bottom_channels, 1)
+    return params
+
+
+def infer_dims(flat_state: Dict[str, np.ndarray]) -> HTDemucsDims:
+    """Recover the architecture hyperparameters from a torch state
+    dict's shapes (converter + loader contract)."""
+    required = (
+        "encoder.0.conv.weight",
+        "tencoder.0.conv.weight",
+        "freq_emb.embedding.weight",
+    )
+    missing = [k for k in required if k not in flat_state]
+    if missing:
+        raise ValueError(
+            f"not an htdemucs state dict: missing {missing}"
+        )
+    depth = 1 + max(
+        int(k.split(".")[1]) for k in flat_state if k.startswith("encoder.")
+    )
+    channels = flat_state["encoder.0.conv.weight"].shape[0]
+    growth = (
+        flat_state["encoder.1.conv.weight"].shape[0] // channels
+        if depth > 1
+        else 2
+    )
+    kernel = flat_state["encoder.0.conv.weight"].shape[2]
+    audio_channels = flat_state["tencoder.0.conv.weight"].shape[1]
+    stride = 4
+    n_freq_emb = flat_state["freq_emb.embedding.weight"].shape[0]
+    nfft = n_freq_emb * stride * 2
+    last_t = flat_state[f"tdecoder.{depth - 1}.conv_tr.weight"].shape[1]
+    n_sources = last_t // audio_channels
+    bottom = (
+        flat_state["channel_upsampler.weight"].shape[0]
+        if "channel_upsampler.weight" in flat_state
+        else 0
+    )
+    t_layers = 1 + max(
+        int(k.split(".")[2])
+        for k in flat_state
+        if k.startswith("crosstransformer.layers.")
+    )
+    dim_t = bottom or channels * growth ** (depth - 1)
+    hidden = flat_state["crosstransformer.layers.0.linear1.weight"].shape[0]
+    dconv_depth = 1 + max(
+        int(k.split(".")[4])
+        for k in flat_state
+        if k.startswith("encoder.0.dconv.layers.")
+    )
+    # default source ordering of the released 4-source models
+    names = ("drums", "bass", "other", "vocals")
+    sources = (
+        names
+        if n_sources == 4
+        else tuple(f"source_{i}" for i in range(n_sources))
+    )
+    return HTDemucsDims(
+        sources=sources,
+        audio_channels=audio_channels,
+        channels=channels,
+        growth=growth,
+        depth=depth,
+        nfft=nfft,
+        kernel_size=kernel,
+        bottom_channels=bottom,
+        t_layers=t_layers,
+        t_hidden_scale=hidden / dim_t,
+        dconv_depth=dconv_depth,
+    )
+
+
+# -- long-audio application -----------------------------------------------------
+
+
+def apply_segments(
+    params: Dict[str, Any],
+    wave: np.ndarray,
+    dims: HTDemucsDims,
+    overlap: float = 0.25,
+) -> np.ndarray:
+    """[C, T] mix → [S, C, T]: demucs apply_model's split contract —
+    fixed ``segment``-long windows, triangular cross-fade weights,
+    zero-padded tail (use_train_segment keeps every window at the
+    trained length, so one XLA compilation serves the whole file)."""
+    seg = int(dims.segment * dims.samplerate)
+    stride = int((1 - overlap) * seg)
+    length = wave.shape[-1]
+
+    tri = np.concatenate(
+        [
+            np.arange(1, seg // 2 + 1),
+            np.arange(seg - seg // 2, 0, -1),
+        ]
+    ).astype(np.float32)
+    tri /= tri.max()
+
+    @jax.jit
+    def run(chunk):
+        return htdemucs_forward(params, chunk[None], dims)[0]
+
+    n_src = len(dims.sources)
+    out = np.zeros((n_src,) + wave.shape, np.float32)
+    weight = np.zeros((length,), np.float32)
+    for start in range(0, length, stride):
+        chunk = wave[..., start : start + seg]
+        n = chunk.shape[-1]
+        if n < seg:
+            chunk = np.pad(chunk, [(0, 0), (0, seg - n)])
+        y = np.asarray(run(jnp.asarray(chunk)), np.float32)[..., :n]
+        out[..., start : start + n] += tri[:n] * y
+        weight[start : start + n] += tri[:n]
+        if start + seg >= length:
+            break
+    return out / np.maximum(weight, 1e-8)
+
+
+def separate_vocals(
+    audio_path: str, out_dir: str, device: str = "auto"
+) -> str:
+    """CLI contract (reference diarize.py:98-114): write
+    ``<out_dir>/htdemucs/<track>/vocals.wav`` and return its path.
+
+    Raises when no converted htdemucs checkpoint is installed so the
+    caller falls back to the unseparated audio (the reference's
+    behavior on a failed demucs run). Mono input is duplicated to
+    stereo (demucs' own mono handling) and separated at the model's
+    native 44.1 kHz."""
+    from ..audio import decode_audio, write_wav
+
+    ckpt = os.path.join(model_cache_dir(), "htdemucs.npz")
+    if not os.path.exists(ckpt):
+        raise FileNotFoundError(
+            f"no separator checkpoint at {ckpt}; skipping source separation"
+        )
+    params = load_params(ckpt)
+    from ..engine.checkpoint import flatten_tree
+
+    flat = {
+        k.replace("/", "."): v for k, v in flatten_tree(params).items()
+    }
+    dims = infer_dims(flat)
+    sidecar = os.path.join(model_cache_dir(), "htdemucs.cfg.json")
+    if os.path.exists(sidecar):
+        import dataclasses
+        import json
+
+        with open(sidecar) as f:
+            cfg = json.load(f)
+        dims = dataclasses.replace(
+            dims,
+            **{
+                k: (tuple(v) if k == "sources" else v)
+                for k, v in cfg.items()
+                if k in {"sources", "segment", "samplerate"}
+            },
+        )
+
+    wave = decode_audio(audio_path, sampling_rate=dims.samplerate)
+    stereo = np.stack([wave] * dims.audio_channels)
+    sources = apply_segments(params, stereo, dims)
+    vocals = sources[dims.sources.index("vocals")].mean(axis=0)
+
+    track = os.path.splitext(os.path.basename(audio_path))[0]
+    target_dir = os.path.join(out_dir, "htdemucs", track)
+    os.makedirs(target_dir, exist_ok=True)
+    target = os.path.join(target_dir, "vocals.wav")
+    write_wav(target, vocals, sample_rate=dims.samplerate)
+    return target
