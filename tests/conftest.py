@@ -34,6 +34,13 @@ FIXTURE_OPUS = REPO_ROOT / "tests" / "assets" / "test.opus"
 def fixture_opus() -> pathlib.Path:
     if not FIXTURE_OPUS.exists():
         pytest.skip("reference opus fixture not available")
+    from whisper_nemo_tpu.audio.decode import native_decoder_available
+
+    if not native_decoder_available():
+        pytest.skip(
+            "native audio decoder unavailable (no libav toolchain); "
+            "compressed-format tests need it"
+        )
     return FIXTURE_OPUS
 
 

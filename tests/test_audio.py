@@ -86,3 +86,28 @@ def test_decode_garbage_file(tmp_path):
     path.write_bytes(b"this is not audio at all" * 10)
     with pytest.raises(AudioDecodeError):
         decode_audio(str(path))
+
+
+def test_decode_wav_fallback_without_native(tmp_path, monkeypatch):
+    """Platforms without the libav toolchain (e.g. Windows CI) decode
+    PCM WAVs through the pure-python fallback, including resampling;
+    compressed formats raise AudioDecodeError."""
+    from whisper_nemo_tpu.audio import decode as decode_mod
+
+    def no_lib():
+        raise OSError("no libav toolchain")
+
+    monkeypatch.setattr(decode_mod, "_load_library", no_lib)
+
+    t = np.arange(8000, dtype=np.float32) / 8000
+    wave = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    path = str(tmp_path / "fb.wav")
+    write_wav(path, wave, 8000)
+    decoded = decode_mod.decode_audio(path, sampling_rate=16000)
+    assert decoded.dtype == np.float32
+    assert abs(len(decoded) - 16000) <= 128
+
+    assert decode_mod.probe_duration(path) == pytest.approx(1.0, abs=0.01)
+    assert not decode_mod.native_decoder_available()
+    with pytest.raises(AudioDecodeError, match="native audio decoder"):
+        decode_mod.decode_audio(str(tmp_path / "x.opus"))

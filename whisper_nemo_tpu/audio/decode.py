@@ -64,6 +64,32 @@ def _load_library() -> ctypes.CDLL:
         return lib
 
 
+def native_decoder_available() -> bool:
+    """True when the libav shared library is loadable (built on demand).
+
+    Platforms without the libav toolchain (e.g. Windows CI) fall back
+    to the pure-python PCM-WAV path; non-WAV inputs then raise."""
+    try:
+        _load_library()
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def _decode_wav_fallback(path: str, sampling_rate: int) -> np.ndarray:
+    """PCM-WAV decode + linear resample without the native library."""
+    from .wav import read_wav
+
+    wave, rate = read_wav(path)
+    if rate != sampling_rate:
+        n_out = int(round(len(wave) * sampling_rate / rate))
+        x_out = np.arange(n_out, dtype=np.float64) * (rate / sampling_rate)
+        wave = np.interp(
+            x_out, np.arange(len(wave), dtype=np.float64), wave
+        ).astype(np.float32)
+    return wave
+
+
 def decode_audio(path: str, sampling_rate: int = 16000) -> np.ndarray:
     """Decode any supported audio file to mono float32.
 
@@ -71,7 +97,16 @@ def decode_audio(path: str, sampling_rate: int = 16000) -> np.ndarray:
     and of pydub's mono conversion (nemo_process.py:24-28): returns a 1-D
     ``np.float32`` waveform resampled to ``sampling_rate``.
     """
-    lib = _load_library()
+    try:
+        lib = _load_library()
+    except (OSError, subprocess.CalledProcessError) as exc:
+        if path.lower().endswith(".wav"):
+            return _decode_wav_fallback(path, sampling_rate)
+        raise AudioDecodeError(
+            f"native audio decoder unavailable ({exc}) and {path!r} is "
+            "not a PCM WAV — install libav dev libraries to decode "
+            "compressed formats"
+        ) from exc
     out = ctypes.POINTER(ctypes.c_float)()
     n = ctypes.c_int64()
     errbuf = ctypes.create_string_buffer(512)
@@ -97,6 +132,14 @@ def decode_audio(path: str, sampling_rate: int = 16000) -> np.ndarray:
 
 def probe_duration(path: str) -> float:
     """Container-reported duration in seconds (−1.0 if unknown)."""
-    lib = _load_library()
+    try:
+        lib = _load_library()
+    except (OSError, subprocess.CalledProcessError):
+        if path.lower().endswith(".wav"):
+            import wave as wave_mod
+
+            with wave_mod.open(path, "rb") as w:
+                return w.getnframes() / w.getframerate()
+        return -1.0
     errbuf = ctypes.create_string_buffer(512)
     return lib.wnt_probe_duration(os.fsencode(path), errbuf, len(errbuf))
