@@ -71,3 +71,47 @@ def test_graft_entry_multichip(cpu_devices):
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_branch_device_placement(cpu_devices):
+    """Serving-side two-branch placement (reference main.py:109-130):
+    an engine committed to one device keeps params AND computation
+    there; the diarizer's `.to(jax.Device)` commits its model trees."""
+    import jax
+    import numpy as np
+
+    from whisper_nemo_tpu.config import create_config
+    from whisper_nemo_tpu.diarize.pipeline import NeuralDiarizer
+    from whisper_nemo_tpu.engine.transcribe import WhisperEngine
+    from whisper_nemo_tpu.models.whisper import (
+        WhisperDims,
+        init_whisper_params,
+    )
+    from whisper_nemo_tpu.text.tokenizer import WhisperTokenizer
+
+    devices = jax.devices()
+    dims = WhisperDims(
+        n_audio_layer=1, n_text_layer=1, n_audio_state=64, n_text_state=64,
+        n_audio_head=4, n_text_head=4, n_vocab=51865, n_text_ctx=48,
+    )
+    params = init_whisper_params(jax.random.PRNGKey(0), dims)
+    engine = WhisperEngine(
+        "tiny", params=params, dims=dims,
+        tokenizer=WhisperTokenizer.byte_fallback(), device=devices[1],
+    )
+    leaf = jax.tree_util.tree_leaves(engine.params)[0]
+    assert leaf.devices() == {devices[1]}
+
+    audio = np.random.default_rng(0).standard_normal(16000).astype(
+        np.float32
+    ) * 0.1
+    segments, info = engine.transcribe_batched(
+        audio, language="en", batch_size=1, max_new_tokens=4
+    )
+    assert info.duration == 1.0
+
+    import tempfile
+
+    diar = NeuralDiarizer(create_config(tempfile.mkdtemp())).to(devices[-1])
+    spk_leaf = jax.tree_util.tree_leaves(diar.spk_params)[0]
+    assert spk_leaf.devices() == {devices[-1]}

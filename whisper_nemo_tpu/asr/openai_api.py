@@ -25,9 +25,12 @@ from ..engine.transcribe import WhisperEngine
 
 
 class OpenAIWhisperModel:
-    def __init__(self, name: str, device: Optional[str] = None):
+    def __init__(self, name: str, device=None):
         compute = "bfloat16" if name.startswith("large") else "default"
-        self.engine = WhisperEngine(name, compute)
+        # string devices ("cuda"/"cpu") keep the openai-whisper call
+        # signature; a jax.Device commits the engine to that chip
+        jax_device = None if isinstance(device, str) else device
+        self.engine = WhisperEngine(name, compute, device=jax_device)
         self.name = name
 
     def transcribe(

@@ -212,8 +212,21 @@ class NeuralDiarizer:
         self._gather_embed_jit = jax.jit(_gather_embed)
 
     def to(self, device) -> "NeuralDiarizer":
-        """Device placement no-op for CLI compatibility
-        (reference diarize.py:200 ``.to(args.device)``)."""
+        """Device placement (reference diarize.py:200 ``.to(args.device)``).
+
+        A string ("cpu"/"cuda"/"auto") keeps CLI compatibility as a
+        no-op; a ``jax.Device`` commits every model param tree to that
+        device, so the whole diarization branch's computations run
+        there — the serving-side half of the reference's two-GPU
+        placement (main.py:109-130)."""
+        if device is None or isinstance(device, str):
+            return self
+        for attr in ("vad_params", "pyannet_params", "spk_params",
+                     "msdd_params"):
+            tree = getattr(self, attr, None)
+            if tree is not None:
+                setattr(self, attr, jax.device_put(tree, device))
+        self.device = device
         return self
 
     # -- stages ------------------------------------------------------------
@@ -493,6 +506,7 @@ class SpeakerDiarizationPipeline:
         return cls()
 
     def to(self, device) -> "SpeakerDiarizationPipeline":
+        self.diarizer.to(device)
         return self
 
     def __call__(

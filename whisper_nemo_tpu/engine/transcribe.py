@@ -100,6 +100,7 @@ class WhisperEngine:
         params=None,
         dims: Optional[WhisperDims] = None,
         tokenizer: Optional[WhisperTokenizer] = None,
+        device=None,
     ):
         if params is None or dims is None:
             params, dims = resolve_model(model_name)
@@ -117,6 +118,14 @@ class WhisperEngine:
                 else x,
                 params,
             )
+        if device is not None:
+            # commit the weights to one device of the slice (the
+            # reference's per-GPU placement, main.py:109-130, done the
+            # JAX way: computations follow committed arguments, so the
+            # whole ASR branch runs where the params live and another
+            # branch can own the remaining cores)
+            params = jax.device_put(params, device)
+        self.device = device
         self.params = params
         self.dims = dims
         self.model_name = model_name
@@ -485,6 +494,8 @@ class WhisperEngine:
         beam_size: int = 1,
         task: str = "transcribe",
         initial_prompt: Optional[str] = None,
+        min_new_tokens: int = 0,
+        max_new_tokens: Optional[int] = None,
     ) -> Tuple[List[Segment], TranscriptionInfo]:
         duration = len(audio) / SAMPLE_RATE
         time_map = None  # [(concat_start_s, orig_start_s, dur_s)]
@@ -553,6 +564,8 @@ class WhisperEngine:
                         previous_tokens=previous,
                         beam_size=beam_size,
                         task=task,
+                        min_new_tokens=min_new_tokens,
+                        max_new_tokens=max_new_tokens,
                     )
                 )
                 toks = tokens[0, n_prompt : n_prompt + lengths[0]].tolist()

@@ -46,16 +46,32 @@ def load_models(warm: bool = True) -> None:
     latency (the reference fails fast with an import-time GPU warmup,
     main.py:33-38)."""
     global whisper_model, diarization_pipeline, window_scheduler
+    import jax
+
     from ..asr import load_model
     from ..diarize import SpeakerDiarizationPipeline
     from .scheduler import WindowScheduler
 
+    # the reference's two-GPU placement (main.py:109-130: whisper on
+    # cuda:0, diarization on cuda:1): with >1 chip, commit the ASR
+    # engine's weights to the first device and the diarization models
+    # to the last, so the branches' XLA executions land on separate
+    # cores and neither evicts the other's HBM working set
+    devices = jax.devices()
+    asr_device = devices[0] if len(devices) > 1 else None
+    diar_device = devices[-1] if len(devices) > 1 else None
+    if asr_device is not None:
+        logger.info(
+            "placement: ASR on %s, diarization on %s", asr_device,
+            diar_device,
+        )
+
     logger.info("loading whisper %s", WHISPER_MODEL_NAME)
-    whisper_model = load_model(WHISPER_MODEL_NAME)
+    whisper_model = load_model(WHISPER_MODEL_NAME, device=asr_device)
     logger.info("loading diarization pipeline")
     diarization_pipeline = SpeakerDiarizationPipeline.from_pretrained(
         "speaker-diarization"
-    )
+    ).to(diar_device)
     window_scheduler = WindowScheduler(
         whisper_model.engine,
         batch_size=int(os.environ.get("WNT_SERVING_BATCH", "16")),
