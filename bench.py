@@ -2,21 +2,29 @@
 """End-to-end benchmark: diarized transcription RTF on one TPU chip.
 
 Measures the full pipeline (BASELINE.json metric: "end-to-end
-audio-min/s per chip (RTF)") on 10 minutes of audio (the reference opus
-fixture tiled): batched Whisper ASR (medium.en-scale, bf16) → forced
-alignment (MMS-300M-scale wav2vec2 emissions + Viterbi) → diarization
-(MarbleNet-scale VAD path, TitaNet-large-scale multiscale embeddings,
-NME-SC clustering). Checkpoints are random-initialized (zero-egress
-environment) but every stage runs at production model scale; decoding
-is forced to ≥64 tokens per 30 s window so the decode loop does
-real-transcript work rather than exiting on an early EOT.
+audio-min/s per chip (RTF)") on tiled fixture audio: batched Whisper
+ASR (medium.en-scale, bf16) → forced alignment (MMS-300M-scale wav2vec2
+emissions + Viterbi) → diarization (MarbleNet-scale VAD path,
+TitaNet-large-scale multiscale embeddings, NME-SC clustering).
+Checkpoints are random-initialized (zero-egress environment) but every
+stage runs at production model scale; decoding is forced to 64-96
+tokens per 30 s window so the decode loop does real-transcript work
+rather than exiting on an early EOT.
+
+Modes (VERDICT r1 #2/#3):
+    python bench.py                     # 3600 s end-to-end + MFU
+    python bench.py --seconds 300       # the r1 configuration
+    python bench.py --mode sequential   # serving's window-serial path
 
 Prints ONE JSON line:
   {"metric": "end_to_end_rtf", "value": N, "unit": "x_realtime",
    "vs_baseline": N / 40}
-vs_baseline is against the BASELINE.json north-star of 40× real time.
+vs_baseline is against the BASELINE.json north-star of 40x real time
+for 1 h of audio. Detail (per-stage seconds, ASR analytic FLOPs,
+TFLOP/s, MFU vs the chip's bf16 peak) goes to stderr.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -24,32 +32,108 @@ import time
 import numpy as np
 
 
-AUDIO_SECONDS = 300
 NORTH_STAR_RTF = 40.0
+
+# bf16 peak TFLOP/s per chip by TPU generation (public spec sheets)
+PEAK_TFLOPS = {
+    "v4": 275.0,
+    "v5e": 197.0,
+    "v5litepod": 197.0,
+    "v5p": 459.0,
+    "v6e": 918.0,
+}
+
+
+def whisper_asr_flops(
+    dims, n_windows: int, tokens_per_window: float, frames: int = 1500
+) -> float:
+    """Analytic forward FLOPs for the batched ASR stage (matmuls only;
+    2 FLOPs per MAC). Encoder: conv stem + per-layer attention/MLP at
+    ``frames`` positions. Decoder: KV-cached steps (self-attn over the
+    running context, cross-attn over ``frames``) + per-window cross-KV
+    prefill + logits."""
+    d = dims.n_audio_state
+    dt = dims.n_text_state
+    v = dims.n_vocab
+    t = frames
+
+    conv = 2 * (2 * t) * 3 * dims.n_mels * d + 2 * t * 3 * d * d
+    enc_layer = 24 * t * d * d + 4 * t * t * d
+    enc = conv + dims.n_audio_layer * enc_layer
+
+    n_tok = tokens_per_window
+    # average self-attention context length ~ prompt + n_tok/2
+    l_avg = 4 + n_tok / 2
+    dec_step = (
+        8 * dt * dt          # self qkvo
+        + 4 * l_avg * dt     # self attention
+        + 4 * dt * dt        # cross q,o
+        + 4 * t * dt         # cross attention
+        + 16 * dt * dt       # mlp
+    )
+    dec = dims.n_text_layer * (
+        n_tok * dec_step + 4 * t * dt * dt  # cross-KV prefill
+    ) + n_tok * 2 * dt * v
+    return n_windows * (enc + dec)
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seconds", type=int, default=3600)
+    ap.add_argument(
+        "--mode",
+        choices=["e2e", "sequential"],
+        default="e2e",
+        help="e2e: batched ASR + align + diarize; sequential: the "
+        "window-serial timestamped decode path serving uses",
+    )
+    ap.add_argument(
+        "--runs", type=int, default=2,
+        help="measured runs after the compile warm-up (best reported)",
+    )
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
+    audio_seconds = args.seconds
     t_setup = time.time()
 
     from whisper_nemo_tpu.audio import decode_audio
-    from whisper_nemo_tpu.config import create_config
-    from whisper_nemo_tpu.diarize.pipeline import NeuralDiarizer
     from whisper_nemo_tpu.engine.transcribe import WhisperEngine
-    from whisper_nemo_tpu.align import load_alignment_model
 
     fixture = "/root/reference/tests/assets/test.opus"
     base = decode_audio(fixture)
-    reps = int(np.ceil(AUDIO_SECONDS * 16000 / len(base)))
-    audio = np.tile(base, reps)[: AUDIO_SECONDS * 16000]
+    reps = int(np.ceil(audio_seconds * 16000 / len(base)))
+    audio = np.tile(base, reps)[: audio_seconds * 16000]
 
     # open the device transfer path once (first D2H pays ~50 s of
     # connection setup on the axon tunnel; not a property of the model)
     np.asarray(jnp.zeros((1,)) + 1)
+    device = jax.devices()[0]
+    dev_kind = getattr(device, "device_kind", "unknown")
+    peak = None
+    for key, val in PEAK_TFLOPS.items():
+        if key in str(dev_kind).lower().replace(" ", ""):
+            peak = val
+
+    def log(msg):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+              flush=True)
+
+    log(f"device {dev_kind} (bf16 peak {peak} TFLOP/s)"
+        if peak else f"device {dev_kind} (peak unknown)")
 
     engine = WhisperEngine("medium.en", compute_type="bfloat16")
+
+    if args.mode == "sequential":
+        run_sequential_bench(engine, audio, audio_seconds, args.runs, log)
+        return
+
+    from whisper_nemo_tpu.align import load_alignment_model
+    from whisper_nemo_tpu.config import create_config
+    from whisper_nemo_tpu.diarize.pipeline import NeuralDiarizer
+
     aligner, align_tok = load_alignment_model("auto", dtype="bfloat16")
 
     import tempfile
@@ -62,23 +146,21 @@ def main() -> None:
     # per-segment frame x label counts, which this matches). One timed
     # segment per 25 s span, like the batched ASR path produces.
     words = ("hello world this is a benchmark transcript " * 250).split()
-    transcript_words = words[: AUDIO_SECONDS * 150 // 60]
+    transcript_words = (
+        words * (audio_seconds * 150 // 60 // len(words) + 1)
+    )[: audio_seconds * 150 // 60]
     seg_len_s = 25
-    wps = len(transcript_words) / AUDIO_SECONDS
+    wps = len(transcript_words) / audio_seconds
     timed_segments = []
-    for s in range(0, AUDIO_SECONDS, seg_len_s):
+    for s in range(0, audio_seconds, seg_len_s):
         w0, w1 = int(s * wps), int((s + seg_len_s) * wps)
         timed_segments.append(
             {
                 "start": float(s),
-                "end": float(min(s + seg_len_s, AUDIO_SECONDS)),
+                "end": float(min(s + seg_len_s, audio_seconds)),
                 "text": " ".join(transcript_words[w0:w1]),
             }
         )
-
-    def log(msg):
-        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
-              flush=True)
 
     def run_once(tag):
         timings = {}
@@ -116,16 +198,23 @@ def main() -> None:
     # warm-up run compiles every jitted stage; the measured runs reflect
     # steady-state serving (compiles are cached across requests). Host
     # CPU contention on this box adds multi-second noise to stage
-    # wall-clock, so the best of two measured runs is reported.
+    # wall-clock, so the best of the measured runs is reported.
     log("warm-up run (compiles)")
     run_once("warmup")
     timings, n_segs, n_words, n_turns = run_once("measured-1")
-    timings2, *_ = run_once("measured-2")
-    if sum(timings2.values()) < sum(timings.values()):
-        timings = timings2
+    for i in range(args.runs - 1):
+        timings2, *_ = run_once(f"measured-{i + 2}")
+        if sum(timings2.values()) < sum(timings.values()):
+            timings = timings2
 
     total = sum(timings.values())
-    rtf = AUDIO_SECONDS / total
+    rtf = audio_seconds / total
+
+    n_windows = int(np.ceil(audio_seconds / 30))
+    flops = whisper_asr_flops(engine.dims, n_windows, 80.0)
+    tflops_s = flops / timings["asr"] / 1e12
+    mfu = tflops_s / peak if peak else None
+
     result = {
         "metric": "end_to_end_rtf",
         "value": round(rtf, 2),
@@ -137,18 +226,63 @@ def main() -> None:
         json.dumps(
             {
                 "detail": {
-                    "audio_seconds": AUDIO_SECONDS,
+                    "audio_seconds": audio_seconds,
+                    "device": str(dev_kind),
                     "stage_seconds": {
                         k: round(v, 2) for k, v in timings.items()
                     },
                     "segments": n_segs,
                     "aligned_words": n_words,
                     "speaker_turns": n_turns,
+                    "asr_analytic_tflops": round(flops / 1e12, 1),
+                    "asr_tflops_per_s": round(tflops_s, 2),
+                    "asr_mfu_vs_bf16_peak": (
+                        round(mfu, 4) if mfu is not None else None
+                    ),
                     "setup_seconds": round(time.time() - t_setup - total, 1),
                 }
             }
         ),
         file=sys.stderr,
+    )
+
+
+def run_sequential_bench(engine, audio, audio_seconds, runs, log):
+    """RTF of the window-serial timestamped decode path — the one the
+    openai-whisper facade and serving use (reference main.py:381-391
+    semantics). Reported as its own metric line."""
+    def run_once(tag):
+        t0 = time.time()
+        # without_timestamps: random weights emit garbage timestamps
+        # whose seek rule could advance 10 ms/window; the per-window
+        # compute (encode + 64-96 decode steps + host sync) is the
+        # same, and the window count stays ceil(T/30)
+        segments, info = engine.transcribe_sequential(
+            audio,
+            language="en",
+            condition_on_previous_text=True,
+            temperatures=(0.0,),  # random weights would always fall back
+            without_timestamps=True,
+            min_new_tokens=64,
+            max_new_tokens=96,
+        )
+        dt = time.time() - t0
+        log(f"{tag} sequential asr {dt:.1f}s ({len(segments)} segments)")
+        return dt
+
+    log("warm-up run (compiles)")
+    run_once("warmup")
+    best = min(run_once(f"measured-{i + 1}") for i in range(runs))
+    rtf = audio_seconds / best
+    print(
+        json.dumps(
+            {
+                "metric": "sequential_asr_rtf",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / NORTH_STAR_RTF, 3),
+            }
+        )
     )
 
 
