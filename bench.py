@@ -34,11 +34,13 @@ import numpy as np
 
 NORTH_STAR_RTF = 40.0
 
-# bf16 peak TFLOP/s per chip by TPU generation (public spec sheets)
+# bf16 peak TFLOP/s per chip by TPU generation (public spec sheets);
+# keys are matched as substrings of the lowercased, space-stripped
+# device_kind ("TPU v5 lite" → "tpuv5lite")
 PEAK_TFLOPS = {
     "v4": 275.0,
     "v5e": 197.0,
-    "v5litepod": 197.0,
+    "v5lite": 197.0,
     "v5p": 459.0,
     "v6e": 918.0,
 }

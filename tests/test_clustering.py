@@ -196,3 +196,79 @@ def test_pipeline_passes_counting_knobs():
         pl, "NeuralDiarizer") else pl)
     assert "enhanced_count_thres=cl.enhanced_count_thres" in inspect.getsource(pl)
     assert "maj_vote_spk_count=cl.maj_vote_spk_count" in inspect.getsource(pl)
+
+
+def test_multiscale_affinity_device_matches_host():
+    """The one-call device affinity equals the per-scale host
+    accumulation (weighted cosine similarity sum)."""
+    from whisper_nemo_tpu.diarize.clustering import multiscale_affinity
+
+    rng = np.random.default_rng(3)
+    stacked = rng.standard_normal((3, 40, 16)).astype(np.float32)
+    weights = np.array([0.5, 0.3, 0.2])
+
+    host = np.zeros((40, 40))
+    for s in range(3):
+        host += weights[s] * cosine_affinity(stacked[s])
+
+    dev = np.asarray(multiscale_affinity(stacked, weights))
+    np.testing.assert_allclose(dev, host, atol=1e-4)
+
+
+def test_device_affinity_clustering_matches_host_path():
+    """nme_spectral_clustering over a device-resident affinity (the
+    hour-scale fast path: binarize + Nyström blocks on device) gives
+    the same labels as the host path on well-separated speakers."""
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.diarize.clustering import multiscale_affinity
+
+    embs, true = _gaussian_speakers(60, 3, seed=7)
+    host_labels = nme_spectral_clustering(embs, num_speakers=3)
+
+    aff_dev = multiscale_affinity(embs[None], np.array([1.0]))
+    assert not isinstance(aff_dev, np.ndarray)
+    dev_labels = nme_spectral_clustering(
+        None, num_speakers=3, affinity=aff_dev
+    )
+    assert _clustering_accuracy(dev_labels, true) > 0.95
+    assert _clustering_accuracy(host_labels, true) > 0.95
+
+
+def test_spectral_cluster_device_nystrom_branch():
+    """Past the Nyström threshold the device path transfers only the
+    anchor blocks; labels must still recover the planted speakers."""
+    from whisper_nemo_tpu.diarize import clustering as cl
+
+    embs, true = _gaussian_speakers(100, 2, seed=9)
+    aff = cl.multiscale_affinity(embs[None], np.array([1.0]))
+    old = cl._NYSTROM_THRESHOLD
+    cl._NYSTROM_THRESHOLD = 50  # force the Nyström branch at n=200
+    try:
+        labels = cl.spectral_cluster_device(aff, p_neighbors=40,
+                                            n_speakers=2)
+    finally:
+        cl._NYSTROM_THRESHOLD = old
+    assert _clustering_accuracy(labels, true) > 0.95
+
+
+def test_map_scales_to_base_matches_bruteforce():
+    """The O(n log m) bisection mapping equals the naive
+    nearest-center argmin (including first-index tie-breaking)."""
+    from whisper_nemo_tpu.diarize.segments import (
+        map_scales_to_base,
+        multiscale_segmentation,
+    )
+
+    regions = [(0.0, 7.3), (9.1, 14.0), (15.5, 23.2)]
+    scales = multiscale_segmentation(
+        regions, [1.5, 1.0, 0.5], [0.75, 0.5, 0.25]
+    )
+    got = map_scales_to_base(scales)
+
+    base_centers = np.array([s.center for s in scales[-1]])
+    for si, segs in enumerate(scales):
+        centers = np.array([s.center for s in segs])
+        dists = np.abs(base_centers[None, :] - centers[:, None])
+        expected = np.argmin(dists, axis=0)
+        np.testing.assert_array_equal(got[si], expected)

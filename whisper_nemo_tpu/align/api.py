@@ -164,14 +164,18 @@ def generate_emissions(
     chunks = padded.reshape(n_chunks, chunk)
 
     logits_fn = model.logits_fn
-    pieces = []
+    # dispatch every batch before collecting any (async executions):
+    # the device streams through the chunks while finished batches'
+    # emissions transfer back
+    futures = []
     for i in range(0, n_chunks, batch_size):
         batch = chunks[i : i + batch_size]
         if len(batch) < batch_size:  # keep one compiled batch shape
             batch = np.pad(
                 batch, ((0, batch_size - len(batch)), (0, 0))
             )
-        pieces.append(np.asarray(logits_fn(model.params, jnp.asarray(batch))))
+        futures.append(logits_fn(model.params, jnp.asarray(batch)))
+    pieces = [np.asarray(f) for f in futures]
     emissions = np.concatenate(pieces, axis=0)  # [≥n_chunks, T_c, V]
     t_per_chunk = emissions.shape[1]
     emissions = emissions[:n_chunks].reshape(-1, emissions.shape[-1])

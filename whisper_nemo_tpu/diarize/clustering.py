@@ -15,8 +15,10 @@ problems land on the TPU; the small search/k-means glue stays in numpy.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,6 +29,58 @@ def cosine_affinity(embeddings: np.ndarray) -> np.ndarray:
     norm = jnp.linalg.norm(embs, axis=1, keepdims=True)
     unit = embs / jnp.maximum(norm, 1e-8)
     return np.asarray(jnp.dot(unit, unit.T, preferred_element_type=jnp.float32))
+
+
+@jax.jit
+def _multiscale_affinity_jit(stacked: jnp.ndarray, weights: jnp.ndarray):
+    norm = jnp.linalg.norm(stacked, axis=2, keepdims=True)
+    unit = stacked / jnp.maximum(norm, 1e-8)
+    return jnp.einsum(
+        "snd,smd->nm",
+        unit * weights[:, None, None],
+        unit,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def multiscale_affinity(
+    stacked_embs: np.ndarray, weights: np.ndarray
+) -> jnp.ndarray:
+    """[S, N, D] per-scale embeddings → scale-weighted [N, N] cosine
+    affinity, built in ONE device call and LEFT ON DEVICE.
+
+    The n² matrix never crosses the device↔host link here — at hour
+    scale that transfer (5 scales × n² float) dominated the whole
+    diarization stage (measured r2: 52 s of a 72 s stage on 3600 s
+    audio). Downstream consumers pull only the small blocks they need
+    (`nmesc_search`'s 512² subsample, `spectral_cluster`'s Nyström
+    columns + degrees)."""
+    return _multiscale_affinity_jit(
+        jnp.asarray(stacked_embs, jnp.float32),
+        jnp.asarray(weights, jnp.float32),
+    )
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _binarize_device_jit(affinity: jnp.ndarray, p: int):
+    """Per-row top-p binarization by row threshold (kth-largest value).
+
+    Ties at the threshold can keep more than p entries per row (the
+    host `binarize_top_p` breaks ties arbitrarily at exactly p);
+    real-valued affinities make ties measure-zero."""
+    kth = jax.lax.top_k(affinity, p)[0][:, -1]
+    binarized = (affinity >= kth[:, None]).astype(jnp.float32)
+    return 0.5 * (binarized + binarized.T)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _binarized_blocks_jit(affinity: jnp.ndarray, p: int, anchor_idx):
+    """Binarize on device; return only the Nyström inputs (degrees and
+    the anchor-column block) so the n² matrix stays on device."""
+    binarized = _binarize_device_jit(affinity, p)
+    deg = binarized.sum(axis=1)
+    cols = binarized[:, anchor_idx]
+    return deg, cols
 
 
 def binarize_top_p(affinity: np.ndarray, p_neighbors: int) -> np.ndarray:
@@ -115,12 +169,15 @@ def nmesc_search(
     clustering still uses every segment.
     """
     n = affinity.shape[0]
-    search_aff = affinity
     scale = 1.0
     if n > search_subsample:
         idx = np.linspace(0, n - 1, search_subsample).astype(int)
-        search_aff = affinity[np.ix_(idx, idx)]
+        # works for host AND device affinities; a device matrix ships
+        # only this subsample across the link
+        search_aff = np.asarray(affinity[idx][:, idx])
         scale = n / len(idx)
+    else:
+        search_aff = np.asarray(affinity)
     m = search_aff.shape[0]
     p_max = max(2, int(np.floor(m * max_rp_threshold)))
     candidates = np.unique(
@@ -244,7 +301,7 @@ def spectral_cluster(
     from a Nyström extension instead of a full O(n³) eigh."""
     n = affinity_bin.shape[0]
     if n > _NYSTROM_THRESHOLD:
-        embedding = _nystrom_embedding(affinity_bin, n_speakers, seed)
+        embedding = _nystrom_embedding(affinity_bin, n_speakers)
     else:
         lap = laplacian(affinity_bin)
         _, evecs = eigen_decompose(lap)
@@ -254,37 +311,69 @@ def spectral_cluster(
     return _kmeans(embedding, n_speakers, seed)
 
 
-_NYSTROM_THRESHOLD = 4096
-
-
-def _nystrom_embedding(
-    affinity: np.ndarray, k: int, seed: int = 0, n_anchors: int = 1024
+def spectral_cluster_device(
+    affinity_dev, p_neighbors: int, n_speakers: int, seed: int = 0
 ) -> np.ndarray:
-    """Approximate spectral embedding via Nyström extension.
+    """`spectral_cluster` for an affinity living on device: binarize on
+    device and transfer only what the chosen eigens path needs — the
+    Nyström blocks (n·m + n floats) past the threshold, the single
+    binarized matrix otherwise."""
+    n = affinity_dev.shape[0]
+    p = int(np.clip(p_neighbors, 1, n))
+    if n > _NYSTROM_THRESHOLD:
+        m = min(_NYSTROM_ANCHORS, n)
+        idx = np.linspace(0, n - 1, m).astype(int)
+        deg, cols = _binarized_blocks_jit(
+            affinity_dev, p, jnp.asarray(idx)
+        )
+        embedding = _nystrom_from_blocks(
+            np.asarray(deg), np.asarray(cols), idx, n_speakers
+        )
+    else:
+        binarized = np.asarray(_binarize_device_jit(affinity_dev, p))
+        lap = laplacian(binarized)
+        _, evecs = eigen_decompose(lap)
+        embedding = evecs[:, :n_speakers]
+    norms = np.linalg.norm(embedding, axis=1, keepdims=True)
+    embedding = embedding / np.maximum(norms, 1e-8)
+    return _kmeans(embedding, n_speakers, seed)
 
-    Eigen-decompose the normalized affinity on an evenly strided anchor
-    subset and extend the eigenvectors to every point through the
-    anchor-to-all affinity block: O(n·m + m³) instead of O(n³). Uses
-    the normalized-affinity formulation (top eigenvectors of D^-1/2 A
-    D^-1/2 ≡ smallest of the normalized Laplacian), which Nyström
-    approximates directly.
-    """
-    n = affinity.shape[0]
-    m = min(n_anchors, n)
-    idx = np.linspace(0, n - 1, m).astype(int)
 
-    deg = np.maximum(affinity.sum(axis=1), 1e-8)
+_NYSTROM_THRESHOLD = 4096
+_NYSTROM_ANCHORS = 1024
+
+
+def _nystrom_from_blocks(
+    deg: np.ndarray, cols: np.ndarray, idx: np.ndarray, k: int
+) -> np.ndarray:
+    """Nyström spectral embedding from (degrees, anchor-column block).
+
+    Eigen-decompose the normalized affinity on the anchor subset and
+    extend the eigenvectors to every point: O(n·m + m³) instead of
+    O(n³). Normalized-affinity formulation (top eigenvectors of
+    D^-1/2 A D^-1/2 ≡ smallest of the normalized Laplacian)."""
+    deg = np.maximum(deg, 1e-8)
     d_inv_sqrt = 1.0 / np.sqrt(deg)
-    # normalized affinity blocks
-    c = (affinity[:, idx] * d_inv_sqrt[:, None]) * d_inv_sqrt[idx][None, :]
+    c = (cols * d_inv_sqrt[:, None]) * d_inv_sqrt[idx][None, :]
     w = c[idx]  # [m, m]
 
     evals, evecs = np.linalg.eigh(w.astype(np.float64))
-    # top-k eigenpairs of the normalized affinity (largest eigenvalues)
     order = np.argsort(-evals)[:k]
     lam = np.maximum(evals[order], 1e-8)
     u = evecs[:, order]
     return (c @ (u / lam[None, :])).astype(np.float32)
+
+
+def _nystrom_embedding(
+    affinity: np.ndarray, k: int, n_anchors: int = _NYSTROM_ANCHORS
+) -> np.ndarray:
+    """Nyström embedding of a host-resident affinity."""
+    n = affinity.shape[0]
+    m = min(n_anchors, n)
+    idx = np.linspace(0, n - 1, m).astype(int)
+    return _nystrom_from_blocks(
+        affinity.sum(axis=1), affinity[:, idx], idx, k
+    )
 
 
 def nme_spectral_clustering(
@@ -313,11 +402,12 @@ def nme_spectral_clustering(
     """
     if affinity is None:
         affinity = cosine_affinity(embeddings)
+    on_device = not isinstance(affinity, np.ndarray)
     n = affinity.shape[0]
     if n == 1:
         return np.zeros(1, np.int32)
     if n == 2:
-        same = affinity[0, 1] > 0.5
+        same = float(affinity[0, 1]) > 0.5
         if num_speakers == 1 or (num_speakers is None and same):
             return np.zeros(2, np.int32)
         return np.arange(2, dtype=np.int32)
@@ -334,6 +424,8 @@ def nme_spectral_clustering(
         est = enhanced_speaker_count(embeddings)
     n_spk = num_speakers if num_speakers is not None else est
     n_spk = int(np.clip(n_spk, min_num_speakers, max_num_speakers))
+    if on_device:
+        return spectral_cluster_device(affinity, best_p, n_spk, seed)
     binarized = binarize_top_p(affinity, best_p)
     return spectral_cluster(binarized, n_spk, seed)
 

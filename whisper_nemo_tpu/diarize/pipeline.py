@@ -38,7 +38,7 @@ from ..ops.features import HOP_LENGTH, SAMPLE_RATE, log_mel_features
 from ..utils import get_logger
 from ..vad import binarize_probs, filter_segments, median_smooth
 from ..vad.energy import frame_energy_probs
-from .clustering import cosine_affinity, longform_cluster
+from .clustering import longform_cluster, multiscale_affinity
 from .rttm import write_rttm
 from .segments import (
     ScaleSegment,
@@ -340,16 +340,19 @@ class NeuralDiarizer:
         idx = starts[:, None] + np.arange(max_frames)[None, :]
         idx = np.minimum(idx, t_total - 1).astype(np.int32)
 
-        embs = []
-        for b in range(0, len(starts), batch_size):
-            out = self._gather_embed_jit(
+        # dispatch every batch before collecting any: JAX executions
+        # are async, so the device streams through the whole scale
+        # while earlier batches' embeddings transfer back
+        outs = [
+            self._gather_embed_jit(
                 self.spk_params,
                 features,
                 jnp.asarray(idx[b : b + batch_size]),
                 jnp.asarray(lengths_np[b : b + batch_size]),
             )
-            embs.append(np.asarray(out))
-        return np.concatenate(embs, axis=0)[:n]
+            for b in range(0, len(starts), batch_size)
+        ]
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
 
     def diarize_waveform(
         self,
@@ -388,20 +391,29 @@ class NeuralDiarizer:
         marks.append(("embed", _time.time()))
         mapping = map_scales_to_base(scales)
 
-        # scale-weighted multiscale affinity over base segments
+        # scale-weighted multiscale affinity over base segments, built
+        # in one device call and left on device: only the subsample /
+        # Nyström blocks the clustering needs cross the host link
+        # (shipping the full n² matrix per scale cost ~52 s/h of audio)
         weights = np.asarray(emb_cfg.multiscale_weights, np.float64)
         weights = weights / weights.sum()
         n_base = len(base_segments)
-        affinity = np.zeros((n_base, n_base), np.float64)
-        mapped_embs = []
-        for si in range(len(scales)):
-            embs = scale_embs[si][mapping[si]]  # [n_base, D]
-            mapped_embs.append(embs)
-            affinity += weights[si] * cosine_affinity(embs)
-        affinity = affinity.astype(np.float32)
+        cl = d.clustering.parameters
+        mapped_embs = [
+            scale_embs[si][mapping[si]] for si in range(len(scales))
+        ]
+        affinity = None
+        if len(scales) > 1 and n_base <= cl.embeddings_per_chunk:
+            # the chunked long-form path re-derives per-chunk
+            # affinities from embeddings, so don't build one it ignores
+            stacked = np.stack(mapped_embs)
+            if debug:
+                marks.append(("aff_stack", _time.time()))
+            affinity = multiscale_affinity(stacked, weights)
+            if debug:
+                affinity.block_until_ready()
 
         marks.append(("affinity", _time.time()))
-        cl = d.clustering.parameters
         oracle = num_speakers if num_speakers else (
             None if not cl.oracle_num_speakers else num_speakers
         )
@@ -416,7 +428,7 @@ class NeuralDiarizer:
             embeddings_per_chunk=cl.embeddings_per_chunk,
             max_rp_threshold=cl.max_rp_threshold,
             sparse_search_volume=cl.sparse_search_volume,
-            affinity=affinity if len(scales) > 1 else None,
+            affinity=affinity,
             min_num_speakers=min_speakers,
             enhanced_count_thres=cl.enhanced_count_thres,
             maj_vote_spk_count=cl.maj_vote_spk_count,
