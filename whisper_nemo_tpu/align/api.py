@@ -19,12 +19,14 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..audio.devcache import device_waveform
 from ..engine.checkpoint import load_params, model_cache_dir
 from ..models.wav2vec2 import (
     Wav2Vec2Dims,
@@ -146,6 +148,19 @@ def load_alignment_model(
     return AlignmentModel(params, dims, jdtype), tokenizer
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _chunk_waveform(wave, n_rows, chunk):
+    """Device-resident waveform -> [n_rows, chunk] zero-padded rows
+    (``n_rows * chunk >= len(wave)``; rows beyond the audio are zero,
+    padding the final batch without a host round-trip)."""
+    idx = jnp.arange(n_rows * chunk, dtype=jnp.int32)
+    valid = idx < wave.shape[0]
+    gathered = jnp.where(
+        valid, wave[jnp.minimum(idx, wave.shape[0] - 1)], jnp.float32(0.0)
+    )
+    return gathered.reshape(n_rows, chunk)
+
+
 def generate_emissions(
     model: AlignmentModel,
     waveform: np.ndarray,
@@ -156,37 +171,39 @@ def generate_emissions(
     Audio is processed as batched 30 s chunks; the trailing chunk is
     zero-padded and its emissions trimmed proportionally.
     """
-    waveform = np.asarray(waveform, np.float32)
     chunk = CHUNK_SECONDS * SAMPLE_RATE
-    n_chunks = max(1, int(np.ceil(len(waveform) / chunk)))
-    padded = np.zeros(n_chunks * chunk, np.float32)
-    padded[: len(waveform)] = waveform
-    chunks = padded.reshape(n_chunks, chunk)
+    n_samples = (
+        len(waveform) if hasattr(waveform, "__len__")
+        else waveform.shape[0]
+    )
+    n_chunks = max(1, int(np.ceil(n_samples / chunk)))
+    # chunk rows padded up to the batch multiple so every batch keeps
+    # one compiled shape; rows are gathered on device from the resident
+    # waveform (no 230 MB/h re-upload over the host link)
+    n_rows = int(np.ceil(n_chunks / batch_size)) * batch_size
+    chunks = _chunk_waveform(device_waveform(waveform), n_rows, chunk)
 
     logits_fn = model.logits_fn
     # dispatch every batch before collecting any (async executions):
     # the device streams through the chunks while finished batches'
     # emissions transfer back
     futures = []
-    for i in range(0, n_chunks, batch_size):
-        batch = chunks[i : i + batch_size]
-        if len(batch) < batch_size:  # keep one compiled batch shape
-            batch = np.pad(
-                batch, ((0, batch_size - len(batch)), (0, 0))
-            )
-        futures.append(logits_fn(model.params, jnp.asarray(batch)))
+    for i in range(0, n_rows, batch_size):
+        futures.append(
+            logits_fn(model.params, chunks[i : i + batch_size])
+        )
     pieces = [np.asarray(f) for f in futures]
     emissions = np.concatenate(pieces, axis=0)  # [≥n_chunks, T_c, V]
     t_per_chunk = emissions.shape[1]
     emissions = emissions[:n_chunks].reshape(-1, emissions.shape[-1])
 
     total_frames = (
-        int(round(len(waveform) / chunk * t_per_chunk))
-        if len(waveform) % chunk
+        int(round(n_samples / chunk * t_per_chunk))
+        if n_samples % chunk
         else emissions.shape[0]
     )
     emissions = emissions[: max(total_frames, 1)]
-    stride_ms = len(waveform) / emissions.shape[0] / SAMPLE_RATE * 1000
+    stride_ms = n_samples / emissions.shape[0] / SAMPLE_RATE * 1000
     return emissions, stride_ms
 
 

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..audio import decode_audio
+from ..audio.devcache import device_waveform
 from ..config import DiarizationConfig
 from ..engine.checkpoint import load_params, model_cache_dir
 from ..models import marblenet, msdd as msdd_mod, titanet
@@ -234,7 +235,7 @@ class NeuralDiarizer:
         p = self.cfg.diarizer.vad.parameters
         if self.vad_params is not None:
             feats = log_mel_features(
-                jnp.asarray(audio), n_mels=self.marblenet_dims.n_mels
+                device_waveform(audio), n_mels=self.marblenet_dims.n_mels
             )[None]
             if self._vad_cfgs is not None:
                 from ..models import conv_asr
@@ -255,7 +256,7 @@ class NeuralDiarizer:
 
             native = np.asarray(
                 pyannet.speech_probs(
-                    self.pyannet_params, jnp.asarray(audio)[None]
+                    self.pyannet_params, device_waveform(audio)[None]
                 )[0]
             )
             # PyanNet frames (~16.9 ms hop) → the 10 ms VAD grid
@@ -299,9 +300,10 @@ class NeuralDiarizer:
     def _full_audio_features(self, audio: np.ndarray):
         """Unnormalized log-mel features of the whole recording, computed
         once on device and shared by every scale's windows (the audio
-        transfers to HBM exactly once)."""
+        transfers to HBM exactly once, shared with the other stages via
+        the devcache residency)."""
         return log_mel_features(
-            jnp.asarray(audio),
+            device_waveform(audio),
             n_mels=self.spk_dims.n_mels,
             normalize=False,
         )

@@ -21,11 +21,14 @@ from __future__ import annotations
 import os
 import zlib
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..audio.devcache import device_waveform
 
 from ..models.whisper import WhisperDims, encode
 from ..ops.mel import (
@@ -46,6 +49,32 @@ logger = get_logger(__name__)
 
 FRAMES_PER_WINDOW = 3000  # 30 s of 10 ms mel frames
 TIME_PER_FRAME = HOP_LENGTH / SAMPLE_RATE  # 0.01 s
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _gather_windows(wave, starts, lengths, n_samples):
+    """Zero-padded ≤30 s windows gathered on device from the resident
+    waveform: ``out[i] == pad(wave[starts[i]:starts[i]+lengths[i]])``.
+
+    Replaces the host stack-and-upload (30 MB of float32 per batch over
+    the host↔device link); only the tiny ``starts``/``lengths`` vectors
+    transfer per batch."""
+    pos = jnp.arange(n_samples, dtype=jnp.int32)
+    idx = jnp.clip(
+        starts[:, None] + pos[None, :], 0, wave.shape[0] - 1
+    )
+    valid = pos[None, :] < lengths[:, None]
+    return jnp.where(valid, wave[idx], jnp.float32(0.0))
+
+
+@jax.jit
+def _window_at(wave, start_sample):
+    """One zero-padded 30 s window at a dynamic offset (the sequential
+    path's per-seek slice, without a per-window host upload)."""
+    padded = jnp.concatenate(
+        [wave, jnp.zeros(N_SAMPLES, wave.dtype)]
+    )
+    return jax.lax.dynamic_slice(padded, (start_sample,), (N_SAMPLES,))
 
 
 @dataclass
@@ -420,18 +449,23 @@ class WhisperEngine:
         # dispatch every batch asynchronously (JAX queues the transfers
         # and computations; batch i+1's H2D overlaps batch i's decode),
         # then synchronize once at the end
+        wave_dev = device_waveform(audio)
         pending = []
         for batch_start in range(0, len(windows), batch_size):
             batch = windows[batch_start : batch_start + batch_size]
             # the final partial batch is zero-padded to keep one
-            # compiled shape per batch size
-            waves = np.zeros((batch_size, N_SAMPLES), np.float32)
+            # compiled shape per batch size; windows are gathered on
+            # device from the resident waveform (no bulk re-upload)
+            starts = np.zeros(batch_size, np.int32)
+            lengths = np.zeros(batch_size, np.int32)
             for i, (s, e) in enumerate(batch):
-                chunk = audio[s:e][:N_SAMPLES]
-                waves[i, : len(chunk)] = chunk
-            mels = log_mel_spectrogram_batch(
-                jnp.asarray(waves), self.dims.n_mels
+                starts[i] = s
+                lengths[i] = min(e - s, N_SAMPLES)
+            waves = _gather_windows(
+                wave_dev, jnp.asarray(starts), jnp.asarray(lengths),
+                N_SAMPLES,
             )
+            mels = log_mel_spectrogram_batch(waves, self.dims.n_mels)
             feats = self.encode_windows(mels)
             out = self._decode_batch(
                 feats, language, suppress_mask, without_timestamps, 0.0,
@@ -529,6 +563,7 @@ class WhisperEngine:
         )
 
         content_frames = len(audio) // HOP_LENGTH
+        wave_dev = device_waveform(audio)
         seek = 0
         segments: List[Segment] = []
         ts_begin = self.tokenizer.timestamp_begin
@@ -544,9 +579,12 @@ class WhisperEngine:
 
         while seek < content_frames:
             time_offset = seek * TIME_PER_FRAME
-            chunk = audio[seek * HOP_LENGTH : seek * HOP_LENGTH + N_SAMPLES]
             window_frames = min(FRAMES_PER_WINDOW, content_frames - seek)
-            mel = self.mel_window(chunk)[None]
+            # per-seek window sliced on device from the resident
+            # waveform (the host slice+upload cost ~80 ms/window on the
+            # tunnel, serially on this latency-bound path)
+            window = _window_at(wave_dev, seek * HOP_LENGTH)
+            mel = log_mel_spectrogram(window, n_mels=self.dims.n_mels)[None]
             feats = self.encode_windows(mel)
 
             previous = all_tokens[prompt_reset_since:] or None
