@@ -152,13 +152,11 @@ def load_alignment_model(
 def _chunk_waveform(wave, n_rows, chunk):
     """Device-resident waveform -> [n_rows, chunk] zero-padded rows
     (``n_rows * chunk >= len(wave)``; rows beyond the audio are zero,
-    padding the final batch without a host round-trip)."""
-    idx = jnp.arange(n_rows * chunk, dtype=jnp.int32)
-    valid = idx < wave.shape[0]
-    gathered = jnp.where(
-        valid, wave[jnp.minimum(idx, wave.shape[0] - 1)], jnp.float32(0.0)
+    padding the final batch without a host round-trip). Pure
+    pad+reshape — no gather."""
+    return jnp.pad(wave, (0, n_rows * chunk - wave.shape[0])).reshape(
+        n_rows, chunk
     )
-    return gathered.reshape(n_rows, chunk)
 
 
 def generate_emissions(

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .framing import frame_signal
 from .mel import mel_filter_bank
 
 SAMPLE_RATE = 16000
@@ -57,11 +58,9 @@ def log_mel_features(
     pad = WIN_LENGTH // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = (x.shape[-1] - WIN_LENGTH) // HOP_LENGTH + 1
-    idx = (
-        jnp.arange(WIN_LENGTH)[None, :]
-        + HOP_LENGTH * jnp.arange(n_frames)[:, None]
-    )
-    frames = x[:, idx]  # [B, T', WIN]
+    # gather-free framing (ops/framing.py): an index-matrix gather here
+    # cost ~12 s/h of audio on TPU
+    frames = frame_signal(x, n_frames, WIN_LENGTH, HOP_LENGTH)
     frames = jnp.pad(frames, ((0, 0), (0, 0), (0, N_FFT - WIN_LENGTH)))
     re = jnp.dot(frames, cos_m, preferred_element_type=jnp.float32)
     im = jnp.dot(frames, sin_m, preferred_element_type=jnp.float32)

@@ -10,6 +10,7 @@ identical segment contract.
 
 from __future__ import annotations
 
+import functools
 from typing import List
 
 import numpy as np
@@ -17,6 +18,34 @@ import numpy as np
 from .binarize import binarize_probs, filter_segments
 
 SAMPLE_RATE = 16000
+
+
+@functools.lru_cache(maxsize=1)
+def _energies_jit():
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.framing import frame_signal
+
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+    def energies(wave, n, w, h):
+        frames = frame_signal(wave, n, w, h)
+        return jnp.mean(jnp.square(frames), axis=-1)
+
+    return energies
+
+
+def _frame_energies_device(audio, n_frames: int, win: int, hop: int):
+    """Per-frame mean-square energy, computed on device.
+
+    Framing uses the gather-free shifted-reshape (ops/framing.py); the
+    waveform rides the shared device residency (audio/devcache.py), so
+    a recording whose windows/features were already uploaded pays no
+    extra transfer.
+    """
+    from ..audio.devcache import device_waveform
+
+    return _energies_jit()(device_waveform(audio), n_frames, win, hop)
 
 
 def frame_energy_probs(
@@ -34,13 +63,22 @@ def frame_energy_probs(
     if len(audio) < win:
         return np.zeros(0, np.float32)
     n_frames = 1 + (len(audio) - win) // hop
-    # windowed mean energy via cumulative sums: O(N) instead of
-    # materializing an [n_frames, win] frame matrix
-    csum = np.concatenate(
-        [[0.0], np.cumsum(np.asarray(audio, np.float64) ** 2)]
-    )
-    starts = hop * np.arange(n_frames)
-    window_energy = (csum[starts + win] - csum[starts]) / win
+    if n_frames > 20_000:
+        # long-form: frame energies on device from the resident
+        # waveform (the host cumsum took 5-20 s per hour under the
+        # 1-core contention of a live TPU process); the percentile
+        # normalization below stays on the small [n_frames] vector
+        window_energy = np.asarray(
+            _frame_energies_device(audio, n_frames, win, hop)
+        ).astype(np.float64)
+    else:
+        # short-form: windowed mean energy via cumulative sums, O(N)
+        # host work with no device round-trip
+        csum = np.concatenate(
+            [[0.0], np.cumsum(np.asarray(audio, np.float64) ** 2)]
+        )
+        starts = hop * np.arange(n_frames)
+        window_energy = (csum[starts + win] - csum[starts]) / win
     rms = np.sqrt(window_energy + 1e-12)
     log_e = 20 * np.log10(rms + 1e-12)
     lo, hi = np.percentile(log_e, 10), np.percentile(log_e, 95)
