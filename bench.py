@@ -93,6 +93,10 @@ def main() -> None:
         "--runs", type=int, default=2,
         help="measured runs after the compile warm-up (best reported)",
     )
+    ap.add_argument(
+        "--batch-size", type=int, default=16,
+        help="ASR decode windows per batch (e2e mode)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -174,7 +178,7 @@ def main() -> None:
         segments, info = engine.transcribe_batched(
             audio,
             language="en",
-            batch_size=16,
+            batch_size=args.batch_size,
             min_new_tokens=64,
             max_new_tokens=96,
         )
