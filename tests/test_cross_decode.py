@@ -1,0 +1,129 @@
+"""Pallas flash-decode cross-attention (ops/cross_decode.py).
+
+The kernel must match a straight dequantize-softmax-mix reference on
+the same quantized values (bf16-rounding tolerance), including the
+masking of lane-padded key positions, and the decode-layout path must
+leave greedy decode outputs unchanged vs the einsum formulation.
+"""
+
+import numpy as np
+import pytest
+
+
+def _quantize_ref(rng, L, B, T, H, D):
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.ops.cross_decode import quantize_cross_kv_decode
+
+    k = jnp.asarray(
+        rng.standard_normal((L, B, T, H, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    v = jnp.asarray(
+        rng.standard_normal((L, B, T, H, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    return quantize_cross_kv_decode(k, v)
+
+
+@pytest.mark.parametrize("T", [200, 128, 77])
+def test_kernel_matches_dequantized_reference(T):
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.ops.cross_decode import cross_attention_decode
+
+    rng = np.random.default_rng(0)
+    L, B, H, D = 2, 3, 4, 64
+    kv = _quantize_ref(rng, L, B, T, H, D)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
+
+    out = cross_attention_decode(
+        q, kv["k_dec"][0], kv["k_dec_scale"][0], kv["v_dec"][0],
+        kv["v_dec_scale"][0], kv["k_len"], interpret=True,
+    )
+
+    kq = np.asarray(kv["k_dec"][0], np.float32)
+    vq = np.asarray(kv["v_dec"][0], np.float32)
+    ks = np.asarray(kv["k_dec_scale"][0])
+    vs = np.asarray(kv["v_dec_scale"][0])
+    qn = np.asarray(q)[:, 0]
+    logits = np.einsum("bhd,bhdt->bht", qn * ks[None] * D**-0.5, kq)
+    logits[:, :, T:] = -np.inf
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    ref = np.einsum("bht,bhtd->bhd", w, vq) * vs[None]
+
+    got = np.asarray(out)[:, 0]
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+def test_padded_positions_have_zero_weight():
+    """Keys beyond k_len (the lane padding) must not receive softmax
+    mass: attention over all-negative V with padding present stays
+    strictly negative."""
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.ops.cross_decode import (
+        cross_attention_decode,
+        quantize_cross_kv_decode,
+    )
+
+    rng = np.random.default_rng(1)
+    L, B, T, H, D = 1, 2, 100, 2, 64
+    k = jnp.asarray(
+        rng.standard_normal((L, B, T, H, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    v = -jnp.abs(
+        jnp.asarray(
+            rng.standard_normal((L, B, T, H, D)).astype(np.float32)
+        )
+    ).astype(jnp.bfloat16) - 0.5
+    kv = quantize_cross_kv_decode(k, v)
+    assert kv["k_dec"].shape[-1] > T  # padding exists
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
+    out = np.asarray(
+        cross_attention_decode(
+            q, kv["k_dec"][0], kv["k_dec_scale"][0], kv["v_dec"][0],
+            kv["v_dec_scale"][0], kv["k_len"], interpret=True,
+        )
+    )
+    assert (out < 0).all()
+
+
+def test_decode_step_matches_legacy_quantized_einsum():
+    """decode_step_stacked over the decode-layout kernel path yields
+    (numerically close) logits to the legacy [L,B,T,H,D] einsum path —
+    same quantization scheme, different layout/kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.engine.transcribe import WhisperEngine
+    from whisper_nemo_tpu.models import whisper_stacked as ws
+
+    eng = WhisperEngine("tiny.en", compute_type="bfloat16")
+    dims = eng.dims
+    rng = np.random.default_rng(2)
+    b, t = 2, dims.n_audio_ctx
+    audio_feats = jnp.asarray(
+        rng.standard_normal((b, t, dims.n_audio_state)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    params = eng._params_stacked
+    base = ws.cross_attention_kv_stacked(params, audio_feats, dims)
+    kv_legacy = ws.quantize_cross_kv_stacked(base)
+    kv_dec = ws.quantize_cross_kv_decode_layout(base)
+
+    cache = ws.init_stacked_cache(b, dims, jnp.bfloat16, cache_len=128)
+    token = jnp.array([5, 7], jnp.int32)
+    pos = jnp.array(3, jnp.int32)
+
+    logits_legacy, _ = ws.decode_step_stacked(
+        params, token, pos, cache, kv_legacy, dims, jnp.bfloat16
+    )
+    logits_dec, _ = ws.decode_step_stacked(
+        params, token, pos, cache, kv_dec, dims, jnp.bfloat16
+    )
+    a, c = np.asarray(logits_legacy), np.asarray(logits_dec)
+    # same argmax and close logits (bf16 rounding differs between the
+    # einsum and kernel formulations)
+    np.testing.assert_array_equal(a.argmax(-1), c.argmax(-1))
+    span = np.abs(a).max()
+    np.testing.assert_allclose(a, c, atol=0.02 * span)

@@ -172,12 +172,20 @@ def greedy_decode(
             cross_attention_kv_stacked,
             decode_step_stacked,
             init_stacked_cache,
+            quantize_cross_kv_decode_layout,
             quantize_cross_kv_stacked,
         )
 
         cross_kv = cross_attention_kv_stacked(params, audio, dims)
         if kv_int8:
-            cross_kv = quantize_cross_kv_stacked(cross_kv)
+            # the Pallas flash-decode layout needs a real TPU; the
+            # CPU/interpret path keeps the einsum-friendly layout
+            # (interpret-mode Pallas inside the decode loop is ~100x
+            # slower than the einsum on CPU)
+            if jax.devices()[0].platform in ("tpu", "axon"):
+                cross_kv = quantize_cross_kv_decode_layout(cross_kv)
+            else:
+                cross_kv = quantize_cross_kv_stacked(cross_kv)
         cache = init_stacked_cache(b, dims, dtype, cache_len=cache_len)
         step_fn = decode_step_stacked
     else:
@@ -370,12 +378,16 @@ def beam_decode(
             decode_step_stacked,
             init_stacked_cache,
             prefill_cache_stacked,
+            quantize_cross_kv_decode_layout,
             quantize_cross_kv_stacked,
         )
 
         base_kv = cross_attention_kv_stacked(params, audio, dims)
         if kv_int8:
-            base_kv = quantize_cross_kv_stacked(base_kv)
+            if jax.devices()[0].platform in ("tpu", "axon"):
+                base_kv = quantize_cross_kv_decode_layout(base_kv)
+            else:
+                base_kv = quantize_cross_kv_stacked(base_kv)
         step_fn = decode_step_stacked
 
         def expand_cache(c):
@@ -389,9 +401,11 @@ def beam_decode(
         def expand_cross(ckv):
             out = {}
             for name, x in ckv.items():
-                # per-layer scales ([L, H, D]) have no batch axis
+                # per-layer scales ([L, H, D]) have no batch axis;
+                # "_"-prefixed entries are static metadata (_k_len)
                 out[name] = (
-                    x if name.endswith("_scale")
+                    x
+                    if name.endswith("_scale") or name.startswith("_")
                     else jnp.repeat(x, k, axis=1)
                 )
             return out

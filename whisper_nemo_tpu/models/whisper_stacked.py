@@ -75,6 +75,23 @@ def cross_attention_kv_stacked(
     return {"k": proj(ca["k"]), "v": proj(ca["v"])}
 
 
+def quantize_cross_kv_decode_layout(cross_kv: dict) -> dict:
+    """int8 quantization of stacked cross-KV into the decode-friendly
+    layout consumed by the Pallas flash-decode kernel
+    (ops/cross_decode.py); ``_k_len`` records the real (unpadded)
+    audio-position count and is excluded from the layer scan."""
+    from ..ops.cross_decode import quantize_cross_kv_decode
+
+    out = quantize_cross_kv_decode(cross_kv["k"], cross_kv["v"])
+    return {
+        "k_dec": out["k_dec"],
+        "k_dec_scale": out["k_dec_scale"],
+        "v_dec": out["v_dec"],
+        "v_dec_scale": out["v_dec_scale"],
+        "_k_len": out["k_len"],
+    }
+
+
 def quantize_cross_kv_stacked(cross_kv: dict) -> dict:
     """int8 quantization of stacked cross-KV (per layer/head/channel
     scales; same scheme as models.whisper.quantize_cross_kv)."""
@@ -138,6 +155,11 @@ def prefill_cache_stacked(
         ]
 
     quantized = "k_q" in cross_kv
+    dec_quant = "k_dec" in cross_kv
+    cross_len = cross_kv.get("_k_len")
+    scanned_kv = {
+        k: v for k, v in cross_kv.items() if not k.startswith("_")
+    }
 
     def layer(x, scanned):
         blk, kv_k, kv_v, ckv = scanned
@@ -158,7 +180,9 @@ def prefill_cache_stacked(
         qc = _split_heads(
             _linear(blk["cross_attn"]["q"], xq), dims.n_text_head
         )
-        if quantized:
+        if dec_quant:
+            cross = _cross_prefill_declayout(qc, ckv, cross_len)
+        elif quantized:
             scale = qc.shape[-1] ** -0.5
             qs = qc * (ckv["k_scale"][None, None] * scale).astype(qc.dtype)
             logits_c = jnp.einsum(
@@ -176,10 +200,35 @@ def prefill_cache_stacked(
         return x, (k_cache, v_cache)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (dec["blocks_stacked"], cache["k"], cache["v"], cross_kv)
+        layer, x, (dec["blocks_stacked"], cache["k"], cache["v"], scanned_kv)
     )
     x = _layer_norm(dec["ln"], x)
     return x, {"k": new_k, "v": new_v}
+
+
+def _cross_prefill_declayout(qc, ckv, cross_len: int):
+    """Prefill cross-attention over the decode-layout int8 KV
+    (ops/cross_decode.py): K [B, H, D, Kp], V [B, H, Kp, D]. Runs once
+    per decode, so the dequantizing einsum's lowering cost is
+    immaterial here; the step loop uses the Pallas kernel instead."""
+    b, p_len = qc.shape[0], qc.shape[1]
+    scale = qc.shape[-1] ** -0.5
+    qs = qc * (ckv["k_dec_scale"][None, None] * scale).astype(qc.dtype)
+    logits = jnp.einsum(
+        "bqhd,bhdt->bhqt", qs, ckv["k_dec"].astype(qc.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    kp = logits.shape[-1]
+    if kp > cross_len:
+        pos = jnp.arange(kp)
+        logits = jnp.where(
+            (pos < cross_len)[None, None, None, :], logits, -jnp.inf
+        )
+    w = jax.nn.softmax(logits, axis=-1).astype(qc.dtype)
+    cross = jnp.einsum(
+        "bhqt,bhtd->bqhd", w, ckv["v_dec"].astype(qc.dtype)
+    ) * ckv["v_dec_scale"][None, None].astype(qc.dtype)
+    return cross
 
 
 def decode_step_stacked(
@@ -217,6 +266,84 @@ def decode_step_stacked(
         ]
 
     quantized = "k_q" in cross_kv
+    dec_quant = "k_dec" in cross_kv
+    cross_len = cross_kv.get("_k_len")
+    scanned_kv = {
+        k: v for k, v in cross_kv.items() if not k.startswith("_")
+    }
+    if dec_quant:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        # the big stacked K/V are NOT scanned: the Pallas kernel
+        # indexes the layer itself (scalar prefetch), and the
+        # self-attention cache stays a scan carry updated in place —
+        # both avoid full-buffer copies every layer step (profiled at
+        # ~5 ms of a 9 ms step at batch 16)
+        k_dec_full = scanned_kv.pop("k_dec")
+        v_dec_full = scanned_kv.pop("v_dec")
+
+        from ..ops.cross_decode import cross_attention_decode_layered
+
+        def layer(carry, scanned):
+            x, cache_k, cache_v = carry
+            blk, ckv, li = scanned
+            xn = _layer_norm(blk["ln1"], x)
+            q = _split_heads(
+                _linear(blk["attn"]["q"], xn), dims.n_text_head
+            )
+            k_new = _split_heads(
+                _linear(blk["attn"]["k"], xn), dims.n_text_head
+            )
+            v_new = _split_heads(
+                _linear(blk["attn"]["v"], xn), dims.n_text_head
+            )
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k_new.astype(cache_k.dtype)[None],
+                (li, 0, pos, 0, 0),
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v_new.astype(cache_v.dtype)[None],
+                (li, 0, pos, 0, 0),
+            )
+            cl = cache_k.shape[2]
+            k_l = jax.lax.dynamic_slice(
+                cache_k, (li, 0, 0, 0, 0), (1,) + cache_k.shape[1:]
+            )[0]
+            v_l = jax.lax.dynamic_slice(
+                cache_v, (li, 0, 0, 0, 0), (1,) + cache_v.shape[1:]
+            )[0]
+            attn = _attention(q, k_l, v_l, mask).reshape(b, 1, -1)
+            x = x + _linear(blk["attn"]["o"], attn)
+
+            xq = _layer_norm(blk["ln_cross"], x)
+            qc = _split_heads(
+                _linear(blk["cross_attn"]["q"], xq), dims.n_text_head
+            )
+            cross = cross_attention_decode_layered(
+                qc, k_dec_full, ckv["k_dec_scale"], v_dec_full,
+                ckv["v_dec_scale"], li, cross_len,
+                interpret=interpret,
+            ).astype(qc.dtype)
+            x = x + _linear(blk["cross_attn"]["o"], cross.reshape(b, 1, -1))
+            x = x + _mlp(
+                blk["mlp_in"], blk["mlp_out"], _layer_norm(blk["ln2"], x)
+            )
+            return (x, cache_k, cache_v), None
+
+        (x, new_k, new_v), _ = jax.lax.scan(
+            layer,
+            (x, cache["k"], cache["v"]),
+            (
+                dec["blocks_stacked"],
+                scanned_kv,
+                jnp.arange(
+                    dec["blocks_stacked"]["ln1"]["g"].shape[0],
+                    dtype=jnp.int32,
+                ),
+            ),
+        )
+        x = _layer_norm(dec["ln"], x)
+        logits = _vocab_logits(dec, x[:, 0, :])
+        return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
 
     def layer(x, scanned):
         blk, kv_k, kv_v, ckv = scanned
@@ -255,7 +382,7 @@ def decode_step_stacked(
         return x, (k_cache, v_cache)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (dec["blocks_stacked"], cache["k"], cache["v"], cross_kv)
+        layer, x, (dec["blocks_stacked"], cache["k"], cache["v"], scanned_kv)
     )
     x = _layer_norm(dec["ln"], x)
     logits = _vocab_logits(dec, x[:, 0, :])
