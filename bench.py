@@ -94,8 +94,10 @@ def main() -> None:
         help="measured runs after the compile warm-up (best reported)",
     )
     ap.add_argument(
-        "--batch-size", type=int, default=16,
-        help="ASR decode windows per batch (e2e mode)",
+        "--batch-size", type=int, default=32,
+        help="ASR decode windows per batch (e2e mode); 32 measured "
+        "best per-window decode cost (0.33 ms/step/window vs 0.44 at "
+        "16) with the flash-decode kernel",
     )
     args = ap.parse_args()
 
