@@ -30,11 +30,13 @@ def set_attention_impl(impl: str) -> None:
 def _resolve_impl() -> str:
     if _IMPL != "auto":
         return _IMPL
-    return (
-        "flash"
-        if jax.devices()[0].platform in ("tpu", "axon")
-        else "xla"
-    )
+    # measured on the v5 lite chip: the Pallas flash kernel (block 512
+    # + segment-id padding) runs the medium.en encoder at 0.657 s per
+    # 16-window batch vs 0.327 s for the XLA einsum path — at Whisper's
+    # T=1500 the [T, T] scores fit HBM comfortably and XLA's fused
+    # attention wins. "flash" remains available via
+    # set_attention_impl for longer-sequence use.
+    return "xla"
 
 
 _MASK_VALUE = -0.7 * 3.4e38  # finite "-inf": avoids NaN from exp(-inf-(-inf))
