@@ -400,13 +400,13 @@ class WhisperEngine:
             # leave results on device: lets the caller dispatch the next
             # batch's transfer/compute before synchronizing
             return tokens, length, sum_logprob, no_speech, n_prompt
-        return (
-            np.asarray(tokens),
-            np.asarray(length),
-            np.asarray(sum_logprob),
-            np.asarray(no_speech),
-            n_prompt,
+        # one batched transfer wave: four serialized np.asarray syncs
+        # cost ~4 tunnel round-trips (~25 ms each) per WINDOW on the
+        # sequential path
+        tokens, length, sum_logprob, no_speech = jax.device_get(
+            (tokens, length, sum_logprob, no_speech)
         )
+        return tokens, length, sum_logprob, no_speech, n_prompt
 
     # -- batched long-form -------------------------------------------------
     def transcribe_batched(
@@ -484,10 +484,9 @@ class WhisperEngine:
 
         segments: List[Segment] = []
         for batch, (tokens_d, lengths_d, sum_lp_d, no_speech_d, n_prompt) in pending:
-            tokens = np.asarray(tokens_d)
-            lengths = np.asarray(lengths_d)
-            sum_lp = np.asarray(sum_lp_d)
-            no_speech = np.asarray(no_speech_d)
+            tokens, lengths, sum_lp, no_speech = jax.device_get(
+                (tokens_d, lengths_d, sum_lp_d, no_speech_d)
+            )
             for i, (s, e) in enumerate(batch):
                 toks = tokens[i, n_prompt : n_prompt + lengths[i]].tolist()
                 text = self.tokenizer.decode(toks)
