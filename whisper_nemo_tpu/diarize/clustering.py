@@ -74,13 +74,29 @@ def _binarize_device_jit(affinity: jnp.ndarray, p: int):
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _binarized_blocks_jit(affinity: jnp.ndarray, p: int, anchor_idx):
-    """Binarize on device; return only the Nyström inputs (degrees and
-    the anchor-column block) so the n² matrix stays on device."""
+def _nystrom_c_jit(affinity: jnp.ndarray, p: int, anchor_idx):
+    """Binarize + degree-normalize on device; return the [n, m]
+    normalized anchor-column block ``c`` (LEFT ON DEVICE) and its
+    [m, m] anchor square ``w`` (the only piece the host eigh needs —
+    shipping the full ``c`` cost ~1 s/hour over the tunnel)."""
     binarized = _binarize_device_jit(affinity, p)
-    deg = binarized.sum(axis=1)
-    cols = binarized[:, anchor_idx]
-    return deg, cols
+    deg = jnp.maximum(binarized.sum(axis=1), 1e-8)
+    d_inv_sqrt = 1.0 / jnp.sqrt(deg)
+    c = (
+        binarized[:, anchor_idx]
+        * d_inv_sqrt[:, None]
+        * d_inv_sqrt[anchor_idx][None, :]
+    )
+    return c, c[anchor_idx]
+
+
+@jax.jit
+def _nystrom_extend_jit(c: jnp.ndarray, u_scaled: jnp.ndarray):
+    """Row-normalized Nyström extension ``c @ (u / λ)`` on device;
+    only the [n, k] spectral embedding transfers back."""
+    emb = jnp.dot(c, u_scaled, preferred_element_type=jnp.float32)
+    norms = jnp.linalg.norm(emb, axis=1, keepdims=True)
+    return emb / jnp.maximum(norms, 1e-8)
 
 
 def binarize_top_p(affinity: np.ndarray, p_neighbors: int) -> np.ndarray:
@@ -323,12 +339,31 @@ def spectral_cluster_device(
     if n > _NYSTROM_THRESHOLD:
         m = min(_NYSTROM_ANCHORS, n)
         idx = np.linspace(0, n - 1, m).astype(int)
-        deg, cols = _binarized_blocks_jit(
-            affinity_dev, p, jnp.asarray(idx)
+        c_dev, w_dev = _nystrom_c_jit(affinity_dev, p, jnp.asarray(idx))
+        # the small [m, m] anchor eigenproblem is the only host work:
+        # top-k eigenpairs of the normalized affinity via LAPACK's
+        # subset driver (~0.1 s at m=1024 vs ~0.3 s for the full f64
+        # decomposition)
+        w = np.asarray(w_dev, np.float64)
+        try:
+            from scipy.linalg import eigh as scipy_eigh
+
+            evals, evecs = scipy_eigh(
+                w, subset_by_index=[m - n_speakers, m - 1]
+            )
+        except ImportError:  # CI environments without scipy
+            evals, evecs = np.linalg.eigh(w)
+            evals = evals[m - n_speakers:]
+            evecs = evecs[:, m - n_speakers:]
+        order = np.argsort(-evals)
+        lam = np.maximum(evals[order], 1e-8)
+        u = evecs[:, order]
+        embedding = np.asarray(
+            _nystrom_extend_jit(
+                c_dev, jnp.asarray((u / lam[None, :]).astype(np.float32))
+            )
         )
-        embedding = _nystrom_from_blocks(
-            np.asarray(deg), np.asarray(cols), idx, n_speakers
-        )
+        return _kmeans(embedding, n_speakers, seed)
     else:
         binarized = np.asarray(_binarize_device_jit(affinity_dev, p))
         lap = laplacian(binarized)
