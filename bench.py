@@ -99,6 +99,10 @@ def main() -> None:
         "best per-window decode cost (0.33 ms/step/window vs 0.44 at "
         "16) with the flash-decode kernel",
     )
+    ap.add_argument(
+        "--beam", type=int, default=1,
+        help="beam size for the ASR decode (e2e mode); 1 = greedy",
+    )
     args = ap.parse_args()
 
     import jax
@@ -183,6 +187,7 @@ def main() -> None:
             batch_size=args.batch_size,
             min_new_tokens=64,
             max_new_tokens=96,
+            beam_size=args.beam,
         )
         timings["asr"] = time.time() - t0
         log(f"{tag} asr {timings['asr']:.1f}s ({len(segments)} segments)")
