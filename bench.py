@@ -181,10 +181,14 @@ def main() -> None:
         # density (~2.5-3 tokens/s); random weights never emit EOT, so
         # without the cap every window would decode to the 224 ceiling,
         # overcounting decode work ~2.3x vs. real transcripts
+        # beams multiply the decode batch (windows x beams lanes); keep
+        # the product near the greedy batch so the int8 cross-KV
+        # (~75 MB per lane at medium.en) stays inside HBM
+        window_batch = max(1, args.batch_size // args.beam)
         segments, info = engine.transcribe_batched(
             audio,
             language="en",
-            batch_size=args.batch_size,
+            batch_size=window_batch,
             min_new_tokens=64,
             max_new_tokens=96,
             beam_size=args.beam,
