@@ -192,10 +192,28 @@ class NeuralDiarizer:
             lambda p, f, l: self._embed_module(p, f, l, self.spk_dims)
         )
 
-        def _gather_embed(params, features, idx, lengths):
-            # features [T_total, n_mels] (unnormalized); idx [B, F] frame
-            # indices; lengths [B]. Per-window normalization then embed.
-            windows = features[idx]  # [B, F, n_mels]
+        def _gather_embed(params, features, starts, lengths, n_frames):
+            # features [T_total, n_mels] (unnormalized); starts [B]
+            # frame offsets; lengths [B]. Windows are contiguous frame
+            # ranges, so each is a dynamic_slice row (straight HBM
+            # copy) — an index-matrix gather here ran ~3-5x over the
+            # copy floor on TPU. The zero tail pad never reaches the
+            # embed (frames >= length are masked below, and lengths
+            # never extend past the real features).
+            f_pad = jnp.concatenate(
+                [
+                    features,
+                    jnp.zeros(
+                        (n_frames, features.shape[1]), features.dtype
+                    ),
+                ]
+            )
+            windows = jax.lax.map(
+                lambda s: jax.lax.dynamic_slice(
+                    f_pad, (s, 0), (n_frames, features.shape[1])
+                ),
+                starts,
+            )  # [B, F, n_mels]
             t = windows.shape[1]
             mask = (
                 jnp.arange(t)[None, :, None] < lengths[:, None, None]
@@ -210,7 +228,9 @@ class NeuralDiarizer:
                 params, windows, lengths, self.spk_dims
             )
 
-        self._gather_embed_jit = jax.jit(_gather_embed)
+        self._gather_embed_jit = jax.jit(
+            _gather_embed, static_argnums=(4,)
+        )
 
     def to(self, device) -> "NeuralDiarizer":
         """Device placement (reference diarize.py:200 ``.to(args.device)``).
@@ -339,9 +359,6 @@ class NeuralDiarizer:
         starts = np.pad(starts, (0, n_pad))
         lengths_np = np.pad(lengths_np, (0, n_pad), constant_values=1)
 
-        idx = starts[:, None] + np.arange(max_frames)[None, :]
-        idx = np.minimum(idx, t_total - 1).astype(np.int32)
-
         # dispatch every batch before collecting any: JAX executions
         # are async, so the device streams through the whole scale
         # while earlier batches' embeddings transfer back
@@ -349,8 +366,9 @@ class NeuralDiarizer:
             self._gather_embed_jit(
                 self.spk_params,
                 features,
-                jnp.asarray(idx[b : b + batch_size]),
+                jnp.asarray(starts[b : b + batch_size]),
                 jnp.asarray(lengths_np[b : b + batch_size]),
+                int(max_frames),
             )
             for b in range(0, len(starts), batch_size)
         ]
