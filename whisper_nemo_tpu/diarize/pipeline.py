@@ -80,6 +80,9 @@ class NeuralDiarizer:
     def __init__(self, cfg: DiarizationConfig, force_large_models: bool = False):
         self.cfg = cfg
         self._force_large = force_large_models
+        # per-threshold turn lists from the last diarize_waveform call
+        # (populated when MSDD runs; keys are sigmoid_threshold values)
+        self.last_threshold_turns = None
         self._load_models()
 
     # -- model resolution --------------------------------------------------
@@ -107,6 +110,16 @@ class NeuralDiarizer:
             # logits would sit near 0.5 and never cross the onset
             # threshold, collapsing the downstream benchmark workload)
             self.vad_params = None
+
+        # benchmarking path: run a production-scale MarbleNet forward
+        # even though segmentation falls back to energy VAD (random
+        # logits are discarded) — the headline RTF must contain stage
+        # (a)'s compute (reference telephonic.yaml:27-37)
+        self._bench_vad_params = None
+        if self.vad_params is None and self._force_large:
+            self._bench_vad_params = marblenet.init_marblenet_params(
+                jax.random.PRNGKey(4), self.marblenet_dims
+            )
 
         # converted pyannote segmentation (tools/convert_pyannote.py)
         # serves as the neural VAD when no MarbleNet checkpoint exists
@@ -243,7 +256,7 @@ class NeuralDiarizer:
         if device is None or isinstance(device, str):
             return self
         for attr in ("vad_params", "pyannet_params", "spk_params",
-                     "msdd_params"):
+                     "msdd_params", "_bench_vad_params"):
             tree = getattr(self, attr, None)
             if tree is not None:
                 setattr(self, attr, jax.device_put(tree, device))
@@ -287,6 +300,18 @@ class NeuralDiarizer:
             t10 = (np.arange(n10) + 0.5) * p.shift_length_in_sec
             probs = np.interp(t10, t_native, native)
         else:
+            if self._bench_vad_params is not None:
+                # force_large benchmark: pay the real MarbleNet frame-VAD
+                # forward over the whole recording (probs discarded —
+                # random weights would collapse segmentation; energy VAD
+                # below supplies the segment boundaries)
+                feats = log_mel_features(
+                    device_waveform(audio),
+                    n_mels=self.marblenet_dims.n_mels,
+                )[None]
+                marblenet.speech_probs(
+                    self._bench_vad_params, feats, self.marblenet_dims
+                ).block_until_ready()
             probs = frame_energy_probs(
                 audio, frame_shift=p.shift_length_in_sec,
                 frame_length=p.window_length_in_sec,
@@ -468,28 +493,46 @@ class NeuralDiarizer:
             m = d.msdd_model.parameters
             seg_embs = np.stack(mapped_embs)  # [S, n_base, D]
             base_w = emb_cfg.window_length_in_sec[-1]
-            activity = msdd_mod.msdd_infer(
+            # the full list-valued sigmoid_threshold is swept (reference
+            # telephonic.yaml:60-66 allows multiple); the first entry is
+            # the primary output, the rest are exposed via
+            # ``last_threshold_turns`` (and per-threshold RTTMs from
+            # ``diarize()``)
+            thresholds = [float(t) for t in m.sigmoid_threshold]
+            activity_by_thr = msdd_mod.msdd_infer_multi(
                 self.msdd_params,
                 seg_embs,
                 labels,
                 emb_cfg.multiscale_weights,
-                sigmoid_threshold=float(m.sigmoid_threshold[0]),
+                sigmoid_thresholds=thresholds,
                 diar_window=m.diar_window_length,
                 seg_duration=base_w,
                 infer_batch_size=m.infer_batch_size,
                 overlap_infer_spk_limit=m.overlap_infer_spk_limit,
+                split_infer=bool(m.split_infer),
             )
-            turns: List[Tuple[float, float, int]] = []
-            for k in range(activity.shape[1]):
-                spk_times = [
-                    times[i] for i in range(len(times)) if activity[i, k]
-                ]
-                spk_turns = merge_frame_labels_to_turns(
-                    spk_times, [k] * len(spk_times), gap_tolerance=0.5
-                )
-                turns.extend(spk_turns)
-            return sorted(turns, key=lambda t: t[0])
 
+            def _activity_to_turns(activity):
+                out: List[Tuple[float, float, int]] = []
+                for k in range(activity.shape[1]):
+                    spk_times = [
+                        times[i] for i in range(len(times)) if activity[i, k]
+                    ]
+                    out.extend(
+                        merge_frame_labels_to_turns(
+                            spk_times, [k] * len(spk_times),
+                            gap_tolerance=0.5,
+                        )
+                    )
+                return sorted(out, key=lambda t: t[0])
+
+            self.last_threshold_turns = {
+                thr: _activity_to_turns(act)
+                for thr, act in activity_by_thr.items()
+            }
+            return self.last_threshold_turns[thresholds[0]]
+
+        self.last_threshold_turns = None
         return merge_frame_labels_to_turns(times, labels, gap_tolerance=0.5)
 
     # -- manifest/RTTM contract -------------------------------------------
@@ -515,6 +558,16 @@ class NeuralDiarizer:
         out_dir = os.path.join(d.out_dir, "pred_rttms")
         os.makedirs(out_dir, exist_ok=True)
         write_rttm(os.path.join(out_dir, f"{uri}.rttm"), turns, uri)
+        # additional thresholds from the list-valued sigmoid_threshold
+        # get their own RTTMs (suffixed, so F17's <uri>.rttm parse is
+        # untouched)
+        extra = getattr(self, "last_threshold_turns", None)
+        if extra and len(extra) > 1:
+            for thr, thr_turns in extra.items():
+                write_rttm(
+                    os.path.join(out_dir, f"{uri}_t{thr:g}.rttm"),
+                    thr_turns, uri,
+                )
         return turns
 
 

@@ -134,35 +134,31 @@ def init_msdd_params(key, dims: MsddDims) -> Params:
     }
 
 
-def msdd_infer(
+def msdd_mean_sigmoids(
     params: Params,
     seg_embs: np.ndarray,  # [n_scales, T, D]
     cluster_labels: np.ndarray,  # [T] from spectral clustering
     scale_weights: Sequence[float],
-    sigmoid_threshold: float = 0.7,
     diar_window: int = 50,
     seg_duration: float = 0.5,
     infer_batch_size: int = 25,
     overlap_infer_spk_limit: int = 5,
-) -> np.ndarray:
-    """Overlap-aware per-segment speaker activity [T, n_spk] bool.
+    split_infer: bool = True,
+):
+    """Pair-averaged per-speaker sigmoid probabilities [T, n_spk], or
+    ``None`` when MSDD does not apply (single speaker, or the count
+    exceeds ``overlap_infer_spk_limit`` — reference telephonic.yaml:64).
 
-    Follows the reference's MSDD inference contract: split into
-    ``diar_window``-second chunks, run every speaker pair, average the
-    per-speaker sigmoids over the pairs containing that speaker,
-    threshold at ``sigmoid_threshold``; if the estimated speaker count
-    exceeds ``overlap_infer_spk_limit`` (or a segment ends with no
-    active speaker) fall back to the clustering label.
+    ``split_infer=False`` (telephonic.yaml:65) disables the
+    ``diar_window``-second windowing and runs the pair LSTMs over the
+    whole sequence in one pass.
     """
     n_scales, t_total, d = seg_embs.shape
     speakers = np.unique(cluster_labels)
     n_spk = len(speakers)
-    activity = np.zeros((t_total, n_spk), bool)
 
     if n_spk == 1 or n_spk > overlap_infer_spk_limit:
-        for i, spk in enumerate(speakers):
-            activity[:, i] = cluster_labels == spk
-        return activity
+        return None, speakers
 
     # cluster-average embeddings per scale
     avg = np.stack(
@@ -178,7 +174,10 @@ def msdd_infer(
     )  # [S, K, D]
 
     w = jnp.asarray(scale_weights, jnp.float32)
-    window_t = max(1, int(diar_window / max(seg_duration, 1e-6)))
+    if split_infer:
+        window_t = max(1, int(diar_window / max(seg_duration, 1e-6)))
+    else:
+        window_t = t_total
     sig_sum = np.zeros((t_total, n_spk), np.float64)
     sig_cnt = np.zeros((n_spk,), np.float64)
 
@@ -204,10 +203,83 @@ def msdd_infer(
     for k in range(n_spk):
         sig_cnt[k] = sum(1 for p in pairs if k in p)
     mean_sig = sig_sum / np.maximum(sig_cnt[None, :], 1.0)
-    activity = mean_sig > sigmoid_threshold
+    return mean_sig, speakers
 
-    # segments with no active speaker fall back to the clustering label
+
+def _binarize(mean_sig, speakers, cluster_labels, threshold: float):
+    """Threshold mean sigmoids; empty segments fall back to the
+    clustering label."""
+    activity = mean_sig > threshold
     empty = ~activity.any(axis=1)
     for i, spk in enumerate(speakers):
         activity[empty & (cluster_labels == spk), i] = True
     return activity
+
+
+def msdd_infer_multi(
+    params: Params,
+    seg_embs: np.ndarray,  # [n_scales, T, D]
+    cluster_labels: np.ndarray,  # [T] from spectral clustering
+    scale_weights: Sequence[float],
+    sigmoid_thresholds: Sequence[float] = (0.7,),
+    diar_window: int = 50,
+    seg_duration: float = 0.5,
+    infer_batch_size: int = 25,
+    overlap_infer_spk_limit: int = 5,
+    split_infer: bool = True,
+) -> Dict[float, np.ndarray]:
+    """Overlap-aware speaker activity at EVERY threshold in the config's
+    list-valued ``sigmoid_threshold`` (telephonic.yaml:60-66): the pair
+    LSTM forward runs once; each threshold binarizes the shared mean
+    sigmoids. Returns {threshold: [T, n_spk] bool}.
+    """
+    mean_sig, speakers = msdd_mean_sigmoids(
+        params, seg_embs, cluster_labels, scale_weights,
+        diar_window=diar_window, seg_duration=seg_duration,
+        infer_batch_size=infer_batch_size,
+        overlap_infer_spk_limit=overlap_infer_spk_limit,
+        split_infer=split_infer,
+    )
+    t_total = seg_embs.shape[1]
+    n_spk = len(speakers)
+    if mean_sig is None:
+        activity = np.zeros((t_total, n_spk), bool)
+        for i, spk in enumerate(speakers):
+            activity[:, i] = cluster_labels == spk
+        return {float(th): activity for th in sigmoid_thresholds}
+    return {
+        float(th): _binarize(mean_sig, speakers, cluster_labels, float(th))
+        for th in sigmoid_thresholds
+    }
+
+
+def msdd_infer(
+    params: Params,
+    seg_embs: np.ndarray,  # [n_scales, T, D]
+    cluster_labels: np.ndarray,  # [T] from spectral clustering
+    scale_weights: Sequence[float],
+    sigmoid_threshold: float = 0.7,
+    diar_window: int = 50,
+    seg_duration: float = 0.5,
+    infer_batch_size: int = 25,
+    overlap_infer_spk_limit: int = 5,
+    split_infer: bool = True,
+) -> np.ndarray:
+    """Overlap-aware per-segment speaker activity [T, n_spk] bool.
+
+    Follows the reference's MSDD inference contract: split into
+    ``diar_window``-second chunks (unless ``split_infer=False``), run
+    every speaker pair, average the per-speaker sigmoids over the pairs
+    containing that speaker, threshold at ``sigmoid_threshold``; if the
+    estimated speaker count exceeds ``overlap_infer_spk_limit`` (or a
+    segment ends with no active speaker) fall back to the clustering
+    label.
+    """
+    return msdd_infer_multi(
+        params, seg_embs, cluster_labels, scale_weights,
+        sigmoid_thresholds=(float(sigmoid_threshold),),
+        diar_window=diar_window, seg_duration=seg_duration,
+        infer_batch_size=infer_batch_size,
+        overlap_infer_spk_limit=overlap_infer_spk_limit,
+        split_infer=split_infer,
+    )[float(sigmoid_threshold)]

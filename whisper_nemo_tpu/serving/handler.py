@@ -79,6 +79,11 @@ def load_models(warm: bool = True) -> None:
     )
     if warm:
         warmup()
+    # device utilization after load (contract: the reference polls
+    # nvidia-smi from load_models, main.py:133)
+    from ..utils.monitor import monitor_device_usage
+
+    monitor_device_usage()
     logger.info("models ready")
 
 
@@ -180,6 +185,13 @@ async def process_transcription_optimized(
                 temperature=0.0,
                 verbose=False,
             )
+
+        # device utilization after the ASR stage (the reference polls
+        # nvidia-smi during processing, main.py:85-100 called from the
+        # worker loop)
+        from ..utils.monitor import monitor_device_usage
+
+        monitor_device_usage()
 
         if request.transcription_only:
             elapsed = (datetime.now() - start_time).total_seconds()
