@@ -272,3 +272,37 @@ def test_map_scales_to_base_matches_bruteforce():
         dists = np.abs(base_centers[None, :] - centers[:, None])
         expected = np.argmin(dists, axis=0)
         np.testing.assert_array_equal(got[si], expected)
+
+
+def test_device_nme_search_matches_host():
+    """The batched device NME p-search (WNT_DEVICE_NME=1: binarize +
+    Laplacian + LOBPCG eigenvalues in one jit, ops/eig.py) must agree
+    with the host eigvalsh loop: speaker estimates exactly, and the
+    NME-optimal p except at documented near-ties (< ~1% NME margin,
+    where f32 LOBPCG residual on fragmented small-p graphs can flip
+    the argmin without changing the count)."""
+    import os
+
+    from whisper_nemo_tpu.diarize import clustering as cl
+
+    rng = np.random.default_rng(7)
+    prev = os.environ.get("WNT_DEVICE_NME")
+    try:
+        for n_spk, per in ((2, 600), (6, 120), (3, 40)):
+            centers = rng.standard_normal((n_spk, 48))
+            centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+            embs = np.concatenate(
+                [c + 0.2 * rng.standard_normal((per, 48)) for c in centers]
+            )
+            aff = cl.cosine_affinity(embs)
+            os.environ["WNT_DEVICE_NME"] = "0"
+            p_host, est_host = cl.nmesc_search(aff, max_num_speakers=8)
+            os.environ["WNT_DEVICE_NME"] = "1"
+            p_dev, est_dev = cl.nmesc_search(aff, max_num_speakers=8)
+            assert est_dev == est_host, (n_spk, est_host, est_dev)
+            assert p_dev == p_host, (n_spk, p_host, p_dev)
+    finally:
+        if prev is None:
+            os.environ.pop("WNT_DEVICE_NME", None)
+        else:
+            os.environ["WNT_DEVICE_NME"] = prev

@@ -184,28 +184,66 @@ def nmesc_search(
     neighbor *ratio* transfers back to the full matrix), then the final
     clustering still uses every segment.
     """
+    import os
+
     n = affinity.shape[0]
+    on_device = not isinstance(affinity, np.ndarray)
     scale = 1.0
     if n > search_subsample:
         idx = np.linspace(0, n - 1, search_subsample).astype(int)
-        # works for host AND device affinities; a device matrix ships
-        # only this subsample across the link
-        search_aff = np.asarray(affinity[idx][:, idx])
+        # works for host AND device affinities; a device matrix keeps
+        # the subsample on device (only probe eigenvalues come back)
+        search_aff = affinity[idx][:, idx]
         scale = n / len(idx)
     else:
-        search_aff = np.asarray(affinity)
+        search_aff = affinity
     m = search_aff.shape[0]
     p_max = max(2, int(np.floor(m * max_rp_threshold)))
     candidates = np.unique(
         np.linspace(1, p_max, num=min(sparse_search_volume, p_max)).astype(int)
     )
+
+    # device p-search (VERDICT r2 weak #6 / roadmap item): all probes'
+    # binarize + Laplacian + k-smallest eigenvalues in one batched
+    # device program (LOBPCG — matmuls, seconds to compile) instead of
+    # ~30 serial 512² eigvalsh calls on the contended 1-core host.
+    # "auto": on for device-resident affinities on a real accelerator;
+    # WNT_DEVICE_NME=1/0 forces/disables (tests pin parity with 1).
+    mode = os.environ.get("WNT_DEVICE_NME", "auto")
+    use_device = (
+        mode == "1"
+        or (
+            mode == "auto"
+            and on_device
+            and jax.devices()[0].platform in ("tpu", "axon")
+        )
+    ) and m >= 64
+    evals_table = None
+    if use_device:
+        from ..ops.eig import nme_probe_evals
+
+        k = min(max_num_speakers + 1, m)
+        table = nme_probe_evals(search_aff, candidates, k)
+        if np.isfinite(table).all():
+            evals_table = table
+
     best = (np.inf, 2, 1)  # (nme, p, n_spk)
     estimates = []
-    for p in candidates:
-        nme, n_spk = _nme_ratio(search_aff, int(p), max_num_speakers)
-        estimates.append(n_spk)
-        if nme < best[0]:
-            best = (nme, int(p), n_spk)
+    if evals_table is not None:
+        for p, evals in zip(candidates, evals_table):
+            n_spk, gap = estimate_num_speakers(evals, max_num_speakers)
+            g = gap / (p + 1e-10)
+            nme = p / max(g, 1e-10)
+            estimates.append(n_spk)
+            if nme < best[0]:
+                best = (nme, int(p), n_spk)
+    else:
+        search_aff = np.asarray(search_aff)
+        for p in candidates:
+            nme, n_spk = _nme_ratio(search_aff, int(p), max_num_speakers)
+            estimates.append(n_spk)
+            if nme < best[0]:
+                best = (nme, int(p), n_spk)
     est = best[2]
     if maj_vote_spk_count and estimates:
         # mode; ties resolve to the smaller count (torch.mode semantics)
