@@ -236,7 +236,11 @@ def greedy_decode(
             kv_valid=kv_valid, pos_offset=pos_offset,
         )
     dec = params["decoder"]
-    first_logits = _vocab_logits(dec, x_pf[:, -1, :]).astype(jnp.float32)
+    # carry the final-norm hidden state, not the [B, V] logits: the
+    # vocab projection happens at the top of each body so the big
+    # logits buffer never sits in the while-loop carry (the carried
+    # copy measured ~1 ms/step at medium/batch-32)
+    first_hid = x_pf[:, -1, :]
 
     # no-speech prob: read at the SOT step's output
     sot_index = jnp.argmax((prompt == opts.sot).astype(jnp.int32), axis=1)
@@ -250,8 +254,10 @@ def greedy_decode(
         return (pos < max_len) & ~jnp.all(finished)
 
     def body(state):
-        (pos, tokens, cache, finished, sum_logprob, length, logits, rng) = state
-        # ``logits`` predict the token at ``pos``
+        (pos, tokens, cache, finished, sum_logprob, length, hid, rng) = state
+        # ``hid`` is the final-norm hidden state predicting the token
+        # at ``pos``; project to the vocabulary here
+        logits = _vocab_logits(dec, hid).astype(jnp.float32)
         filt = logits + suppress_mask[None, :]
         if opts.min_new_tokens > 0:
             below_min = (pos - n_prompt) < opts.min_new_tokens
@@ -297,13 +303,13 @@ def greedy_decode(
         finished = finished | newly_finished
 
         tokens = tokens.at[jnp.arange(b), pos].set(nxt)
-        next_logits, cache = step_fn(
+        next_hid, cache = step_fn(
             params, nxt, pos, cache, cross_kv, dims, dtype,
-            kv_valid=kv_valid, pos_offset=pos_offset,
-        )  # logits for pos + 1
+            kv_valid=kv_valid, pos_offset=pos_offset, return_hidden=True,
+        )  # hidden predicting pos + 1
         return (
             pos + 1, tokens, cache, finished, sum_logprob, length,
-            next_logits, rng,
+            next_hid, rng,
         )
 
     init = (
@@ -313,7 +319,7 @@ def greedy_decode(
         jnp.zeros((b,), bool),
         jnp.zeros((b,), jnp.float32),
         jnp.zeros((b,), jnp.int32),
-        first_logits,
+        first_hid,
         rng,
     )
     (_, tokens, _, _, sum_logprob, length, _, _) = jax.lax.while_loop(
@@ -467,9 +473,9 @@ def beam_decode(
             dtype, kv_valid=kv_valid_b, pos_offset=pos_offset_b,
         )
     dec = params["decoder"]
-    first_logits = expand(
-        _vocab_logits(dec, x_pf[:, -1, :]).astype(jnp.float32)
-    )  # [BK, V] — predicts the token at pos = n_prompt
+    # hidden-state carry (see greedy_decode): [BK, D] instead of the
+    # [BK, V] logits in the while carry
+    first_hid = expand(x_pf[:, -1, :])  # predicts the token at n_prompt
 
     sot_index = jnp.argmax((prompt == opts.sot).astype(jnp.int32), axis=1)
     x_sot = x_pf[jnp.arange(b), sot_index]
@@ -496,8 +502,9 @@ def beam_decode(
         return (pos < max_len) & ~jnp.all(finished)
 
     def body(state):
-        (pos, tokens, cache, finished, beam_scores, logits) = state
-        # ``logits`` predict the token at ``pos``
+        (pos, tokens, cache, finished, beam_scores, hid) = state
+        # ``hid`` predicts the token at ``pos``; project here
+        logits = _vocab_logits(dec, hid).astype(jnp.float32)
         filt = logits + suppress_mask[None, :]
         if opts.suppress_blank:
             first_step = pos == n_prompt
@@ -541,11 +548,12 @@ def beam_decode(
         finished = finished[gather_idx] | (
             new_tok.reshape(bk) == opts.eot
         )
-        next_logits, cache = step_fn(
+        next_hid, cache = step_fn(
             params, new_tok.reshape(bk), pos, cache, cross_kv, dims,
             dtype, kv_valid=kv_valid, pos_offset=pos_offset,
-        )  # logits for pos + 1
-        return (pos + 1, tokens, cache, finished, top_scores, next_logits)
+            return_hidden=True,
+        )  # hidden predicting pos + 1
+        return (pos + 1, tokens, cache, finished, top_scores, next_hid)
 
     init = (
         jnp.int32(n_prompt),
@@ -553,7 +561,7 @@ def beam_decode(
         cache,
         jnp.zeros((bk,), bool),
         beam_scores,
-        first_logits,
+        first_hid,
     )
     (_, tokens, _, finished, beam_scores, _) = jax.lax.while_loop(
         cond, body, init

@@ -402,8 +402,14 @@ def decode_step(
     dtype=jnp.float32,
     kv_valid: Optional[jnp.ndarray] = None,  # [B, n_text_ctx] bool
     pos_offset: Optional[jnp.ndarray] = None,  # [B] int32
+    return_hidden: bool = False,
 ) -> Tuple[jnp.ndarray, list]:
     """One decode step: returns fp32 logits [B, V] and the updated cache.
+
+    With ``return_hidden`` the final-norm hidden state [B, D] comes back
+    instead of logits — decode loops carry that (D ≪ V floats) and
+    project to the vocabulary at the start of the next loop body, so
+    the [B, V] buffer never enters the while-loop carry.
 
     The cache sequence axis is static (n_text_ctx); the attention mask
     hides positions > ``pos`` and, when ``kv_valid`` is given, positions
@@ -456,6 +462,8 @@ def decode_step(
         x = x + _mlp(blk["mlp_in"], blk["mlp_out"], _layer_norm(blk["ln2"], x))
 
     x = _layer_norm(dec["ln"], x)
+    if return_hidden:
+        return x[:, 0, :], new_cache
     logits = _vocab_logits(dec, x[:, 0, :])
     return logits.astype(jnp.float32), new_cache
 

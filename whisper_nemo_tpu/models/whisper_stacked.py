@@ -241,9 +241,12 @@ def decode_step_stacked(
     dtype=jnp.float32,
     kv_valid: Optional[jnp.ndarray] = None,
     pos_offset: Optional[jnp.ndarray] = None,
+    return_hidden: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """Numerically identical to models.whisper.decode_step, with the
-    layer loop as a lax.scan over stacked params."""
+    layer loop as a lax.scan over stacked params. ``return_hidden``
+    returns the final-norm hidden [B, D] instead of vocab logits (the
+    loop-carry shrinking contract of models.whisper.decode_step)."""
     dec = params["decoder"]
     b = token.shape[0]
     cache_len = cache["k"].shape[2]
@@ -342,6 +345,8 @@ def decode_step_stacked(
             ),
         )
         x = _layer_norm(dec["ln"], x)
+        if return_hidden:
+            return x[:, 0, :], {"k": new_k, "v": new_v}
         logits = _vocab_logits(dec, x[:, 0, :])
         return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
 
@@ -385,5 +390,7 @@ def decode_step_stacked(
         layer, x, (dec["blocks_stacked"], cache["k"], cache["v"], scanned_kv)
     )
     x = _layer_norm(dec["ln"], x)
+    if return_hidden:
+        return x[:, 0, :], {"k": new_k, "v": new_v}
     logits = _vocab_logits(dec, x[:, 0, :])
     return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
