@@ -58,12 +58,16 @@ class WindowScheduler:
         beam_size: int = 1,
         max_new_tokens: Optional[int] = None,
         without_timestamps: bool = True,
+        min_new_tokens: int = 0,
     ):
         self.engine = engine
         self.batch_size = batch_size
         self.max_wait_s = max_wait_s
         self.beam_size = beam_size
         self.max_new_tokens = max_new_tokens
+        # benchmarking knob: random-init weights never emit EOT, so the
+        # bench pins decode work to the real-transcript token range
+        self.min_new_tokens = min_new_tokens
         # timestamped mode decodes whisper's timestamp grammar and
         # splits each window into sub-segments with real in-window
         # times (what the serving merge with diarization turns needs);
@@ -172,6 +176,7 @@ class WindowScheduler:
                     0.0,
                     beam_size=self.beam_size,
                     max_new_tokens=self.max_new_tokens,
+                    min_new_tokens=self.min_new_tokens,
                 )
             )
             for i, item in enumerate(group):
