@@ -112,6 +112,12 @@ def main() -> None:
         help="ASR weight/compute type; int8 = weight-only quantized "
         "linears (the CTranslate2 int8 analogue, reference diarize.py:36)",
     )
+    ap.add_argument(
+        "--kv-bits", type=int, default=8, choices=[4, 8],
+        help="cross-attention KV storage width; 4 packs two values per "
+        "byte (ops/cross_decode.py), halving the decode loop's "
+        "dominant HBM stream again",
+    )
     args = ap.parse_args()
 
     import jax
@@ -145,7 +151,9 @@ def main() -> None:
     log(f"device {dev_kind} (bf16 peak {peak} TFLOP/s)"
         if peak else f"device {dev_kind} (peak unknown)")
 
-    engine = WhisperEngine("medium.en", compute_type=args.compute_type)
+    engine = WhisperEngine(
+        "medium.en", compute_type=args.compute_type, kv_bits=args.kv_bits
+    )
 
     if args.mode == "sequential":
         run_sequential_bench(engine, audio, audio_seconds, args.runs, log)

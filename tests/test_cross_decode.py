@@ -88,6 +88,131 @@ def test_padded_positions_have_zero_weight():
     assert (out < 0).all()
 
 
+def test_int4_pack_roundtrip():
+    """pack_int4/unpack_int4 are exact inverses on [-7, 7] values,
+    along any axis."""
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.ops.cross_decode import pack_int4, unpack_int4
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.integers(-7, 8, size=(3, 8, 64, 128)), jnp.int8
+    )
+    for axis in (2, 3):
+        packed = pack_int4(x, axis=axis)
+        assert packed.shape[axis] == x.shape[axis] // 2
+        np.testing.assert_array_equal(
+            np.asarray(unpack_int4(packed, axis=axis)), np.asarray(x)
+        )
+
+
+@pytest.mark.parametrize("T", [200, 128])
+def test_int4_kernel_matches_dequantized_reference(T):
+    """The bits=4 kernel path must match a numpy dequantize-softmax-mix
+    on the same unpacked int4 values."""
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.ops.cross_decode import (
+        cross_attention_decode,
+        quantize_cross_kv_decode,
+        unpack_int4,
+    )
+
+    rng = np.random.default_rng(4)
+    L, B, H, D = 2, 3, 4, 64
+    k = jnp.asarray(
+        rng.standard_normal((L, B, T, H, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    v = jnp.asarray(
+        rng.standard_normal((L, B, T, H, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    kv = quantize_cross_kv_decode(k, v, bits=4)
+    assert kv["k_dec"].shape[-2] == D // 2  # packed along D
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
+
+    out = cross_attention_decode(
+        q, kv["k_dec"][0], kv["k_dec_scale"][0], kv["v_dec"][0],
+        kv["v_dec_scale"][0], kv["k_len"], bits=4, interpret=True,
+    )
+
+    kq = np.asarray(unpack_int4(kv["k_dec"][0], axis=2), np.float32)
+    vq = np.asarray(unpack_int4(kv["v_dec"][0], axis=2), np.float32)
+    ks = np.asarray(kv["k_dec_scale"][0])
+    vs = np.asarray(kv["v_dec_scale"][0])
+    qn = np.asarray(q)[:, 0]
+    logits = np.einsum("bhd,bhdt->bht", qn * ks[None] * D**-0.5, kq)
+    logits[:, :, T:] = -np.inf
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    ref = np.einsum("bht,bhtd->bhd", w, vq) * vs[None]
+
+    got = np.asarray(out)[:, 0]
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+def test_int4_quantization_error_bounded():
+    """Dequantized int4 K/V must stay within half a quantization step
+    of the source values (per-channel amax/7 scales)."""
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.ops.cross_decode import (
+        quantize_cross_kv_decode,
+        unpack_int4,
+    )
+
+    rng = np.random.default_rng(5)
+    L, B, T, H, D = 2, 2, 128, 4, 64
+    k = jnp.asarray(rng.standard_normal((L, B, T, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((L, B, T, H, D)).astype(np.float32))
+    kv = quantize_cross_kv_decode(k, v, bits=4)
+    # K decode layout [L,B,H,D,Kp] -> dequant -> [L,B,T,H,D]
+    kq = np.asarray(unpack_int4(kv["k_dec"], axis=3), np.float32)
+    ks = np.asarray(kv["k_dec_scale"])  # [L, H, D]
+    deq = (kq * ks[:, None, :, :, None]).transpose(0, 1, 4, 2, 3)[:, :, :T]
+    err = np.abs(deq - np.asarray(k))
+    bound = 0.5 * ks.max(axis=(1, 2))[:, None, None, None, None] + 1e-6
+    assert (err <= bound).all()
+
+
+def test_decode_step_int4_close_to_int8():
+    """Full decode_step_stacked with bits=4 stacked-einsum KV stays
+    close to the int8 path (same argmax on a random tiny model) — the
+    CPU-reproducible stand-in for the TPU packed kernel path."""
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.engine.transcribe import WhisperEngine
+    from whisper_nemo_tpu.models import whisper_stacked as ws
+
+    eng = WhisperEngine("tiny.en", compute_type="bfloat16")
+    dims = eng.dims
+    rng = np.random.default_rng(6)
+    b, t = 2, dims.n_audio_ctx
+    audio_feats = jnp.asarray(
+        rng.standard_normal((b, t, dims.n_audio_state)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    params = eng._params_stacked
+    base = ws.cross_attention_kv_stacked(params, audio_feats, dims)
+    kv8 = ws.quantize_cross_kv_stacked(base, bits=8)
+    kv4 = ws.quantize_cross_kv_stacked(base, bits=4)
+
+    cache = ws.init_stacked_cache(b, dims, jnp.bfloat16, cache_len=128)
+    token = jnp.array([5, 7], jnp.int32)
+    pos = jnp.array(3, jnp.int32)
+
+    l8, _ = ws.decode_step_stacked(
+        params, token, pos, cache, kv8, dims, jnp.bfloat16
+    )
+    l4, _ = ws.decode_step_stacked(
+        params, token, pos, cache, kv4, dims, jnp.bfloat16
+    )
+    a, c = np.asarray(l8), np.asarray(l4)
+    np.testing.assert_array_equal(a.argmax(-1), c.argmax(-1))
+    span = np.abs(a).max()
+    np.testing.assert_allclose(a, c, atol=0.1 * span)
+
+
 def test_decode_step_matches_legacy_quantized_einsum():
     """decode_step_stacked over the decode-layout kernel path yields
     (numerically close) logits to the legacy [L,B,T,H,D] einsum path —

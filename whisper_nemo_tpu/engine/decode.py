@@ -135,7 +135,10 @@ def _apply_timestamp_rules(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dims", "opts", "n_prompt", "dtype", "kv_int8")
+    jax.jit,
+    static_argnames=(
+        "dims", "opts", "n_prompt", "dtype", "kv_int8", "kv_bits"
+    ),
 )
 def greedy_decode(
     params,
@@ -149,6 +152,7 @@ def greedy_decode(
     dtype=jnp.float32,
     prompt_valid: Optional[jnp.ndarray] = None,  # [B, n_prompt] bool
     kv_int8: bool = False,
+    kv_bits: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched decode. Returns (tokens [B, L], lengths [B],
     sum_logprob [B], no_speech_prob [B]).
@@ -183,9 +187,13 @@ def greedy_decode(
             # (interpret-mode Pallas inside the decode loop is ~100x
             # slower than the einsum on CPU)
             if jax.devices()[0].platform in ("tpu", "axon"):
-                cross_kv = quantize_cross_kv_decode_layout(cross_kv)
+                cross_kv = quantize_cross_kv_decode_layout(
+                    cross_kv, bits=kv_bits
+                )
             else:
-                cross_kv = quantize_cross_kv_stacked(cross_kv)
+                cross_kv = quantize_cross_kv_stacked(
+                    cross_kv, bits=kv_bits
+                )
         cache = init_stacked_cache(b, dims, dtype, cache_len=cache_len)
         step_fn = decode_step_stacked
     else:
@@ -330,7 +338,10 @@ def greedy_decode(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "opts", "n_prompt", "beam_size", "dtype", "kv_int8"),
+    static_argnames=(
+        "dims", "opts", "n_prompt", "beam_size", "dtype", "kv_int8",
+        "kv_bits",
+    ),
 )
 def beam_decode(
     params,
@@ -344,6 +355,7 @@ def beam_decode(
     length_penalty: float = 1.0,
     dtype=jnp.float32,
     kv_int8: bool = False,
+    kv_bits: int = 8,
     prompt_valid: Optional[jnp.ndarray] = None,  # [B, n_prompt] bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched beam search (the faster-whisper/CT2 default decode mode,
@@ -391,9 +403,13 @@ def beam_decode(
         base_kv = cross_attention_kv_stacked(params, audio, dims)
         if kv_int8:
             if jax.devices()[0].platform in ("tpu", "axon"):
-                base_kv = quantize_cross_kv_decode_layout(base_kv)
+                base_kv = quantize_cross_kv_decode_layout(
+                    base_kv, bits=kv_bits
+                )
             else:
-                base_kv = quantize_cross_kv_stacked(base_kv)
+                base_kv = quantize_cross_kv_stacked(
+                    base_kv, bits=kv_bits
+                )
         step_fn = decode_step_stacked
 
         def expand_cache(c):

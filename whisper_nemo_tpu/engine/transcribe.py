@@ -136,6 +136,7 @@ class WhisperEngine:
         dims: Optional[WhisperDims] = None,
         tokenizer: Optional[WhisperTokenizer] = None,
         device=None,
+        kv_bits: Optional[int] = None,
     ):
         if params is None or dims is None:
             params, dims = resolve_model(model_name)
@@ -168,6 +169,13 @@ class WhisperEngine:
         # int8 cross-attention KV for reduced-precision compute types:
         # the decode loop's dominant HBM stream halves
         self.kv_int8 = compute_type in ("bfloat16", "float16", "int8")
+        # cross-KV storage width: 8 (default) or 4 (packed two values
+        # per byte, ops/cross_decode.py) — halves the stream again
+        if kv_bits is None:
+            kv_bits = int(os.environ.get("WNT_KV_BITS", "8"))
+        if kv_bits not in (4, 8):
+            raise ValueError(f"kv_bits must be 4 or 8, got {kv_bits}")
+        self.kv_bits = kv_bits if self.kv_int8 else 8
         self.multilingual = not model_name.endswith(".en")
         if tokenizer is None:
             from .checkpoint import model_cache_dir
@@ -380,6 +388,7 @@ class WhisperEngine:
                 beam_size=beam_size,
                 dtype=self.dtype,
                 kv_int8=self.kv_int8,
+                kv_bits=self.kv_bits,
                 prompt_valid=prompt_valid,
             )
         else:
@@ -395,6 +404,7 @@ class WhisperEngine:
                 dtype=self.dtype,
                 prompt_valid=prompt_valid,
                 kv_int8=self.kv_int8,
+                kv_bits=self.kv_bits,
             )
         if not sync:
             # leave results on device: lets the caller dispatch the next

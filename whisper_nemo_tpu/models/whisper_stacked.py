@@ -75,33 +75,41 @@ def cross_attention_kv_stacked(
     return {"k": proj(ca["k"]), "v": proj(ca["v"])}
 
 
-def quantize_cross_kv_decode_layout(cross_kv: dict) -> dict:
-    """int8 quantization of stacked cross-KV into the decode-friendly
-    layout consumed by the Pallas flash-decode kernel
+def quantize_cross_kv_decode_layout(cross_kv: dict, bits: int = 8) -> dict:
+    """int8/int4 quantization of stacked cross-KV into the
+    decode-friendly layout consumed by the Pallas flash-decode kernel
     (ops/cross_decode.py); ``_k_len`` records the real (unpadded)
-    audio-position count and is excluded from the layer scan."""
+    audio-position count and ``_bits`` the storage width — both are
+    trace-time constants excluded from the layer scan."""
     from ..ops.cross_decode import quantize_cross_kv_decode
 
-    out = quantize_cross_kv_decode(cross_kv["k"], cross_kv["v"])
+    out = quantize_cross_kv_decode(cross_kv["k"], cross_kv["v"], bits=bits)
     return {
         "k_dec": out["k_dec"],
         "k_dec_scale": out["k_dec_scale"],
         "v_dec": out["v_dec"],
         "v_dec_scale": out["v_dec_scale"],
         "_k_len": out["k_len"],
+        "_bits": bits,
     }
 
 
-def quantize_cross_kv_stacked(cross_kv: dict) -> dict:
+def quantize_cross_kv_stacked(cross_kv: dict, bits: int = 8) -> dict:
     """int8 quantization of stacked cross-KV (per layer/head/channel
-    scales; same scheme as models.whisper.quantize_cross_kv)."""
+    scales; same scheme as models.whisper.quantize_cross_kv).
+
+    ``bits=4`` stores unpacked int8 values clipped to [-7, 7] with
+    ``amax/7`` scales — the same numerics as the packed decode layout,
+    so the CPU einsum path reproduces the TPU int4 kernel's
+    quantization error without Pallas."""
+    qmax = 127.0 if bits == 8 else 7.0
     out = {}
     for name in ("k", "v"):
         x = cross_kv[name].astype(jnp.float32)  # [L, B, T, H, D]
         amax = jnp.max(jnp.abs(x), axis=(1, 2))  # [L, H, D]
-        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        scale = jnp.where(amax > 0, amax / qmax, 1.0)
         q = jnp.clip(
-            jnp.round(x / scale[:, None, None]), -127, 127
+            jnp.round(x / scale[:, None, None]), -qmax, qmax
         ).astype(jnp.int8)
         out[f"{name}_q"] = q
         out[f"{name}_scale"] = scale.astype(jnp.float32)
@@ -157,6 +165,7 @@ def prefill_cache_stacked(
     quantized = "k_q" in cross_kv
     dec_quant = "k_dec" in cross_kv
     cross_len = cross_kv.get("_k_len")
+    kv_bits = cross_kv.get("_bits", 8)
     scanned_kv = {
         k: v for k, v in cross_kv.items() if not k.startswith("_")
     }
@@ -181,7 +190,7 @@ def prefill_cache_stacked(
             _linear(blk["cross_attn"]["q"], xq), dims.n_text_head
         )
         if dec_quant:
-            cross = _cross_prefill_declayout(qc, ckv, cross_len)
+            cross = _cross_prefill_declayout(qc, ckv, cross_len, kv_bits)
         elif quantized:
             scale = qc.shape[-1] ** -0.5
             qs = qc * (ckv["k_scale"][None, None] * scale).astype(qc.dtype)
@@ -206,16 +215,22 @@ def prefill_cache_stacked(
     return x, {"k": new_k, "v": new_v}
 
 
-def _cross_prefill_declayout(qc, ckv, cross_len: int):
-    """Prefill cross-attention over the decode-layout int8 KV
+def _cross_prefill_declayout(qc, ckv, cross_len: int, bits: int = 8):
+    """Prefill cross-attention over the decode-layout int8/int4 KV
     (ops/cross_decode.py): K [B, H, D, Kp], V [B, H, Kp, D]. Runs once
     per decode, so the dequantizing einsum's lowering cost is
     immaterial here; the step loop uses the Pallas kernel instead."""
+    k_dec, v_dec = ckv["k_dec"], ckv["v_dec"]
+    if bits == 4:
+        from ..ops.cross_decode import unpack_int4
+
+        k_dec = unpack_int4(k_dec, axis=2)  # [B, H, D, Kp]
+        v_dec = unpack_int4(v_dec, axis=2)  # [B, H, Kp, D]
     b, p_len = qc.shape[0], qc.shape[1]
     scale = qc.shape[-1] ** -0.5
     qs = qc * (ckv["k_dec_scale"][None, None] * scale).astype(qc.dtype)
     logits = jnp.einsum(
-        "bqhd,bhdt->bhqt", qs, ckv["k_dec"].astype(qc.dtype),
+        "bqhd,bhdt->bhqt", qs, k_dec.astype(qc.dtype),
         preferred_element_type=jnp.float32,
     )
     kp = logits.shape[-1]
@@ -226,7 +241,7 @@ def _cross_prefill_declayout(qc, ckv, cross_len: int):
         )
     w = jax.nn.softmax(logits, axis=-1).astype(qc.dtype)
     cross = jnp.einsum(
-        "bhqt,bhtd->bqhd", w, ckv["v_dec"].astype(qc.dtype)
+        "bhqt,bhtd->bqhd", w, v_dec.astype(qc.dtype)
     ) * ckv["v_dec_scale"][None, None].astype(qc.dtype)
     return cross
 
@@ -271,6 +286,7 @@ def decode_step_stacked(
     quantized = "k_q" in cross_kv
     dec_quant = "k_dec" in cross_kv
     cross_len = cross_kv.get("_k_len")
+    kv_bits = cross_kv.get("_bits", 8)
     scanned_kv = {
         k: v for k, v in cross_kv.items() if not k.startswith("_")
     }
@@ -323,7 +339,7 @@ def decode_step_stacked(
             )
             cross = cross_attention_decode_layered(
                 qc, k_dec_full, ckv["k_dec_scale"], v_dec_full,
-                ckv["v_dec_scale"], li, cross_len,
+                ckv["v_dec_scale"], li, cross_len, bits=kv_bits,
                 interpret=interpret,
             ).astype(qc.dtype)
             x = x + _linear(blk["cross_attn"]["o"], cross.reshape(b, 1, -1))

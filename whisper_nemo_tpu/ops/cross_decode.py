@@ -32,23 +32,50 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
-def quantize_cross_kv_decode(cross_kv_bf16_k, cross_kv_bf16_v):
-    """[L, B, T, H, D] bf16 K and V -> decode-layout int8 dict.
+def pack_int4(q: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Split-half int4 packing along ``axis`` (must be even-sized):
+    output byte at index ``i`` holds value ``i`` in its low nibble and
+    value ``i + n/2`` in its high nibble, so unpacking is a pair of
+    sign-extending shifts plus a concatenate — no interleave/relayout
+    on the TPU sublane axis. ``q`` values must be in [-7, 7]."""
+    n = q.shape[axis]
+    lo = jax.lax.slice_in_dim(q, 0, n // 2, axis=axis).astype(jnp.int32)
+    hi = jax.lax.slice_in_dim(q, n // 2, n, axis=axis).astype(jnp.int32)
+    return ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_int4`: int8 bytes -> int32 values in
+    [-7, 7], doubling ``axis``."""
+    p = packed.astype(jnp.int32)
+    lo = (p << 28) >> 28
+    hi = p >> 4  # int8->int32 sign-extends, so this is arithmetic
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
+def quantize_cross_kv_decode(cross_kv_bf16_k, cross_kv_bf16_v, bits=8):
+    """[L, B, T, H, D] bf16 K and V -> decode-layout quantized dict.
 
     K is stored ``[L, B, H, D, Kp]`` (scores contraction over D, K on
     lanes); V is stored ``[L, B, H, Kp, D]`` (output contraction over
     K). ``Kp`` pads T to the 128-lane multiple; padded positions carry
     zeros and are masked inside the kernel.
+
+    ``bits=4`` halves the stream again (the CT2-int8 analogue taken one
+    step further): values quantize to [-7, 7] with per-(L, H, D)
+    channel scales and pack two per byte via :func:`pack_int4` — K
+    along D (axis 3 of the decode layout), V along Kp.
     """
     t = cross_kv_bf16_k.shape[2]
     t_pad = -t % _LANE
+    qmax = 127.0 if bits == 8 else 7.0
 
     def quant(x):  # [L, B, T, H, D]
         xf = x.astype(jnp.float32)
         amax = jnp.max(jnp.abs(xf), axis=(1, 2))  # [L, H, D]
-        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        scale = jnp.where(amax > 0, amax / qmax, 1.0)
         q = jnp.clip(
-            jnp.round(xf / scale[:, None, None]), -127, 127
+            jnp.round(xf / scale[:, None, None]), -qmax, qmax
         ).astype(jnp.int8)
         return q, scale.astype(jnp.float32)
 
@@ -63,27 +90,45 @@ def quantize_cross_kv_decode(cross_kv_bf16_k, cross_kv_bf16_v):
         v_q.transpose(0, 1, 3, 2, 4),
         ((0, 0),) * 3 + ((0, t_pad), (0, 0)),
     )
+    if bits == 4:
+        k_q = pack_int4(k_q, axis=3)   # D -> D/2 bytes
+        v_q = pack_int4(v_q, axis=3)   # Kp -> Kp/2 bytes
     return {
         "k_dec": k_q,
         "k_dec_scale": k_scale,
         "v_dec": v_q,
         "v_dec_scale": v_scale,
         "k_len": t,
+        "bits": bits,
     }
 
 
-def _kernel(qs_ref, kq_ref, vq_ref, out_ref, *, k_len: int):
-    """One batch row: qs [H, D] (scales pre-folded), K [H, D, Kp] s8,
-    V [H, Kp, D] s8 -> out [H, D] f32.
+def _unpack_bf16(block: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """In-register dequant of one head's K or V block to bf16. For
+    ``bits=4`` the packed byte rows expand along axis 0 (split-half
+    layout of :func:`pack_int4`: low nibbles are the first half, high
+    nibbles the second — a concat, never an interleave)."""
+    if bits == 4:
+        p = block.astype(jnp.int32)
+        return jnp.concatenate(
+            [(p << 28) >> 28, p >> 4], axis=0
+        ).astype(jnp.bfloat16)
+    return block.astype(jnp.bfloat16)
+
+
+def _kernel(qs_ref, kq_ref, vq_ref, out_ref, *, k_len: int, bits: int = 8):
+    """One batch row: qs [H, D] (scales pre-folded), K [H, D, Kp] s8
+    (or [H, D/2, Kp] int4-packed), V [H, Kp, D] s8 (or [H, Kp/2, D])
+    -> out [H, D] f32.
 
     Heads unroll statically into per-head 2D matmuls — Mosaic's dot
     lowering takes plain 2D contractions, and the softmax is per-head
-    anyway. int8 blocks convert to bf16 per head in-register; the
+    anyway. Quantized blocks convert to bf16 per head in-register; the
     dequantized K/V never exists outside VMEM."""
     h = qs_ref.shape[1]
     for i in range(h):
         q_h = qs_ref[0, i][None].astype(jnp.bfloat16)  # [1, D]
-        k_h = kq_ref[0, i].astype(jnp.bfloat16)  # [D, Kp]
+        k_h = _unpack_bf16(kq_ref[0, i], bits)  # [D, Kp]
         logits = jnp.dot(
             q_h, k_h, preferred_element_type=jnp.float32
         )  # [1, Kp]
@@ -92,20 +137,23 @@ def _kernel(qs_ref, kq_ref, vq_ref, out_ref, *, k_len: int):
             pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             logits = jnp.where(pos < k_len, logits, -jnp.inf)
         w = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
-        v_h = vq_ref[0, i].astype(jnp.bfloat16)  # [Kp, D]
+        v_h = _unpack_bf16(vq_ref[0, i], bits)  # [Kp, D]
         out_ref[0, i] = jnp.dot(
             w, v_h, preferred_element_type=jnp.float32
         )[0]
 
 
-@functools.partial(jax.jit, static_argnames=("k_len", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k_len", "bits", "interpret")
+)
 def cross_attention_decode(
     q: jnp.ndarray,  # [B, 1, H, D] (pre-softmax-scale query)
-    k_dec: jnp.ndarray,  # [B, H, D, Kp] int8
+    k_dec: jnp.ndarray,  # [B, H, D, Kp] int8 (D/2 when bits=4)
     k_scale: jnp.ndarray,  # [H, D] f32
-    v_dec: jnp.ndarray,  # [B, H, Kp, D] int8
+    v_dec: jnp.ndarray,  # [B, H, Kp, D] int8 (Kp/2 when bits=4)
     v_scale: jnp.ndarray,  # [H, D] f32
     k_len: int,
+    bits: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Single-query-token quantized cross-attention -> [B, 1, H, D]."""
@@ -119,14 +167,14 @@ def cross_attention_decode(
     )  # [B, H, D]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, k_len=k_len),
+        functools.partial(_kernel, k_len=k_len, bits=bits),
         grid=(b,),
         in_specs=[
             pl.BlockSpec(
                 (1, h, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, h, d, k_dec.shape[-1]),
+                (1, h, k_dec.shape[-2], k_dec.shape[-1]),
                 lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -152,7 +200,9 @@ def cross_attention_decode(
     return out[:, None]  # [B, 1, H, D]
 
 
-@functools.partial(jax.jit, static_argnames=("k_len", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k_len", "bits", "interpret")
+)
 def cross_attention_decode_layered(
     q: jnp.ndarray,  # [B, 1, H, D]
     k_dec: jnp.ndarray,  # [L, B, H, D, Kp] int8 — the FULL stack
@@ -161,6 +211,7 @@ def cross_attention_decode_layered(
     v_scale: jnp.ndarray,  # [H, D] f32 (this layer's)
     layer: jnp.ndarray,  # scalar int32
     k_len: int,
+    bits: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """As ``cross_attention_decode`` but indexing the layer INSIDE the
@@ -184,7 +235,7 @@ def cross_attention_decode_layered(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, h, d, k_dec.shape[-1]),
+                (1, 1, h, k_dec.shape[-2], k_dec.shape[-1]),
                 lambda i, l: (l[0], i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -205,7 +256,7 @@ def cross_attention_decode_layered(
         n_heads = qs_ref.shape[1]
         for i in range(n_heads):
             q_h = qs_ref[0, i][None].astype(jnp.bfloat16)  # [1, D]
-            k_h = kq_ref[0, 0, i].astype(jnp.bfloat16)  # [D, Kp]
+            k_h = _unpack_bf16(kq_ref[0, 0, i], bits)  # [D, Kp]
             logits = jnp.dot(
                 q_h, k_h, preferred_element_type=jnp.float32
             )
@@ -216,7 +267,7 @@ def cross_attention_decode_layered(
                 )
                 logits = jnp.where(pos < k_len, logits, -jnp.inf)
             w = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
-            v_h = vq_ref[0, 0, i].astype(jnp.bfloat16)  # [Kp, D]
+            v_h = _unpack_bf16(vq_ref[0, 0, i], bits)  # [Kp, D]
             out_ref[0, i] = jnp.dot(
                 w, v_h, preferred_element_type=jnp.float32
             )[0]
