@@ -204,10 +204,18 @@ def main() -> None:
         # density (~2.5-3 tokens/s); random weights never emit EOT, so
         # without the cap every window would decode to the 224 ceiling,
         # overcounting decode work ~2.3x vs. real transcripts
-        # beams multiply the decode batch (windows x beams lanes); keep
-        # the product near the greedy batch so the int8 cross-KV
-        # (~75 MB per lane at medium.en) stays inside HBM
-        window_batch = max(1, args.batch_size // args.beam)
+        # on the Pallas kernel path (real TPU) beam lanes SHARE their
+        # window's cross-KV (ops/cross_decode.py i//beam index map), so
+        # HBM cost per window matches greedy and the window batch stays
+        # full; the CPU einsum path replicates KV per lane (~75 MB per
+        # lane at medium.en), so there the product shrinks to the
+        # greedy batch
+        import jax as _jax
+
+        if _jax.devices()[0].platform in ("tpu", "axon"):
+            window_batch = args.batch_size
+        else:
+            window_batch = max(1, args.batch_size // args.beam)
         segments, info = engine.transcribe_batched(
             audio,
             language="en",

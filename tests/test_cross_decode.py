@@ -213,6 +213,96 @@ def test_decode_step_int4_close_to_int8():
     np.testing.assert_allclose(a, c, atol=0.1 * span)
 
 
+def test_beam_shared_kv_matches_replicated():
+    """cross_attention_decode_layered with beam=2 (lanes share their
+    window's K/V via the i//beam index map) must match beam=1 on KV
+    explicitly replicated per lane — the memory-free formulation of the
+    CT2-style repeat."""
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.ops.cross_decode import (
+        cross_attention_decode_layered,
+        quantize_cross_kv_decode,
+    )
+
+    rng = np.random.default_rng(7)
+    L, W, beam, H, D, T = 2, 2, 2, 4, 64, 200
+    k = jnp.asarray(
+        rng.standard_normal((L, W, T, H, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    v = jnp.asarray(
+        rng.standard_normal((L, W, T, H, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    kv = quantize_cross_kv_decode(k, v)
+    # row-major lane order [w0 w0 w1 w1] — jnp.repeat(axis=0) on the
+    # window axis, matching decode.py's expand()
+    q = jnp.asarray(
+        rng.standard_normal((W * beam, 1, H, D)).astype(np.float32)
+    )
+
+    shared = cross_attention_decode_layered(
+        q, kv["k_dec"], kv["k_dec_scale"][0], kv["v_dec"],
+        kv["v_dec_scale"][0], jnp.int32(0), kv["k_len"],
+        beam=beam, interpret=True,
+    )
+    k_rep = jnp.repeat(kv["k_dec"], beam, axis=1)
+    v_rep = jnp.repeat(kv["v_dec"], beam, axis=1)
+    replicated = cross_attention_decode_layered(
+        q, k_rep, kv["k_dec_scale"][0], v_rep,
+        kv["v_dec_scale"][0], jnp.int32(0), kv["k_len"],
+        interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(shared), np.asarray(replicated)
+    )
+
+
+def test_decode_step_beam_shared_kv():
+    """decode_step_stacked with _beam=2 metadata (window-batch KV,
+    beam-expanded lanes) matches the replicated-KV step lane for lane
+    on a random tiny model."""
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.engine.transcribe import WhisperEngine
+    from whisper_nemo_tpu.models import whisper_stacked as ws
+
+    eng = WhisperEngine("tiny.en", compute_type="bfloat16")
+    dims = eng.dims
+    rng = np.random.default_rng(8)
+    w, beam, t = 2, 2, dims.n_audio_ctx
+    bk = w * beam
+    audio_feats = jnp.asarray(
+        rng.standard_normal((w, t, dims.n_audio_state)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    params = eng._params_stacked
+    base = ws.cross_attention_kv_stacked(params, audio_feats, dims)
+    kv_w = ws.quantize_cross_kv_decode_layout(base)
+    kv_shared = {**kv_w, "_beam": beam}
+    kv_rep = {
+        name: (
+            x
+            if name.endswith("_scale") or name.startswith("_")
+            else jnp.repeat(x, beam, axis=1)
+        )
+        for name, x in kv_w.items()
+    }
+
+    cache = ws.init_stacked_cache(bk, dims, jnp.bfloat16, cache_len=128)
+    token = jnp.array([5, 7, 11, 13], jnp.int32)
+    pos = jnp.array(3, jnp.int32)
+
+    l_shared, _ = ws.decode_step_stacked(
+        params, token, pos, cache, kv_shared, dims, jnp.bfloat16
+    )
+    l_rep, _ = ws.decode_step_stacked(
+        params, token, pos, cache, kv_rep, dims, jnp.bfloat16
+    )
+    np.testing.assert_array_equal(
+        np.asarray(l_shared), np.asarray(l_rep)
+    )
+
+
 def test_decode_step_matches_legacy_quantized_einsum():
     """decode_step_stacked over the decode-layout kernel path yields
     (numerically close) logits to the legacy [L,B,T,H,D] einsum path —

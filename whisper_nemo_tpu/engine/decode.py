@@ -421,6 +421,13 @@ def beam_decode(
             return {"k": c["k"][:, idx], "v": c["v"][:, idx]}
 
         def expand_cross(ckv):
+            if "k_dec" in ckv:
+                # decode-layout KV (the Pallas kernel path): beams
+                # SHARE their window's K/V via the kernel's i//beam
+                # index map instead of replicating it — the CT2-style
+                # repeat would multiply the decode loop's dominant HBM
+                # stream (and residency) by beam_size
+                return {**ckv, "_beam": k}
             out = {}
             for name, x in ckv.items():
                 # per-layer scales ([L, H, D]) have no batch axis;

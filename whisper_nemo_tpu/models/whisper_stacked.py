@@ -287,6 +287,9 @@ def decode_step_stacked(
     dec_quant = "k_dec" in cross_kv
     cross_len = cross_kv.get("_k_len")
     kv_bits = cross_kv.get("_bits", 8)
+    # beam lanes share their window's K/V inside the kernel (beam
+    # search sets this instead of replicating the decode-layout KV)
+    kv_beam = cross_kv.get("_beam", 1)
     scanned_kv = {
         k: v for k, v in cross_kv.items() if not k.startswith("_")
     }
@@ -340,7 +343,7 @@ def decode_step_stacked(
             cross = cross_attention_decode_layered(
                 qc, k_dec_full, ckv["k_dec_scale"], v_dec_full,
                 ckv["v_dec_scale"], li, cross_len, bits=kv_bits,
-                interpret=interpret,
+                beam=kv_beam, interpret=interpret,
             ).astype(qc.dtype)
             x = x + _linear(blk["cross_attn"]["o"], cross.reshape(b, 1, -1))
             x = x + _mlp(

@@ -201,10 +201,10 @@ def cross_attention_decode(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_len", "bits", "interpret")
+    jax.jit, static_argnames=("k_len", "bits", "beam", "interpret")
 )
 def cross_attention_decode_layered(
-    q: jnp.ndarray,  # [B, 1, H, D]
+    q: jnp.ndarray,  # [B·beam, 1, H, D]
     k_dec: jnp.ndarray,  # [L, B, H, D, Kp] int8 — the FULL stack
     k_scale: jnp.ndarray,  # [H, D] f32 (this layer's)
     v_dec: jnp.ndarray,  # [L, B, H, Kp, D] int8 — the FULL stack
@@ -212,23 +212,33 @@ def cross_attention_decode_layered(
     layer: jnp.ndarray,  # scalar int32
     k_len: int,
     bits: int = 8,
+    beam: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """As ``cross_attention_decode`` but indexing the layer INSIDE the
     kernel via scalar prefetch: the layer-scan body passes the whole
     stacked K/V and the grid DMAs only layer ``layer``'s blocks — the
     per-layer ``dynamic_slice`` copy XLA would otherwise materialize
-    cost ~2.5 ms per decode step at batch 16 (profiled)."""
-    b, _, h, d = q.shape
+    cost ~2.5 ms per decode step at batch 16 (profiled).
+
+    ``beam > 1``: the query batch carries ``beam`` hypothesis lanes per
+    audio window ([w0·k lanes..] row-major) while K/V stay at the WINDOW
+    batch — the index map sends lane ``i`` to window block ``i //
+    beam``, and consecutive lanes of the same window reuse the resident
+    VMEM block (Mosaic skips the DMA when the block index repeats). The
+    CT2-style replicated-KV beam pays ``beam``× the decode loop's
+    dominant HBM stream; this shares it."""
+    bq = q.shape[0]
+    _, _, h, d = q.shape
     sm_scale = d**-0.5
     qs = (
         q[:, 0].astype(jnp.float32) * (k_scale * sm_scale)[None]
-    )  # [B, H, D]
+    )  # [B·beam, H, D]
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(bq,),
         in_specs=[
             pl.BlockSpec(
                 (1, h, d), lambda i, l: (i, 0, 0),
@@ -236,12 +246,12 @@ def cross_attention_decode_layered(
             ),
             pl.BlockSpec(
                 (1, 1, h, k_dec.shape[-2], k_dec.shape[-1]),
-                lambda i, l: (l[0], i, 0, 0, 0),
+                lambda i, l: (l[0], i // beam, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, h, v_dec.shape[-2], d),
-                lambda i, l: (l[0], i, 0, 0, 0),
+                lambda i, l: (l[0], i // beam, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -275,15 +285,15 @@ def cross_attention_decode_layered(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bq, h, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * d * k_dec.shape[-1] * 2,
+            flops=2 * bq * h * d * k_dec.shape[-1] * 2,
             bytes_accessed=(
                 k_dec.size // k_dec.shape[0]
                 + v_dec.size // v_dec.shape[0]
-                + 4 * b * h * d * 2
+                + 4 * bq * h * d * 2
             ),
-            transcendentals=b * h * k_dec.shape[-1],
+            transcendentals=bq * h * k_dec.shape[-1],
         ),
         interpret=interpret,
     )(lidx, qs, k_dec, v_dec)
