@@ -93,8 +93,10 @@ def main() -> None:
         "streaming: real-time chunked feed, word-commit latency",
     )
     ap.add_argument(
-        "--runs", type=int, default=2,
-        help="measured runs after the compile warm-up (best reported)",
+        "--runs", type=int, default=3,
+        help="measured runs after the compile warm-up (best reported; "
+        "3 because the 1-core host adds multi-second noise to the "
+        "align/cluster stage tails)",
     )
     ap.add_argument(
         "--batch-size", type=int, default=32,

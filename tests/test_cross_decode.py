@@ -36,12 +36,12 @@ def test_kernel_matches_dequantized_reference(T):
     q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
 
     out = cross_attention_decode(
-        q, kv["k_dec"][0], kv["k_dec_scale"][0], kv["v_dec"][0],
+        q, kv["kv_dec"][0], kv["k_dec_scale"][0],
         kv["v_dec_scale"][0], kv["k_len"], interpret=True,
     )
 
-    kq = np.asarray(kv["k_dec"][0], np.float32)
-    vq = np.asarray(kv["v_dec"][0], np.float32)
+    fused = np.asarray(kv["kv_dec"][0], np.float32)  # [B, H, 2D, Kp]
+    kq, vqt = fused[:, :, :D], fused[:, :, D:]
     ks = np.asarray(kv["k_dec_scale"][0])
     vs = np.asarray(kv["v_dec_scale"][0])
     qn = np.asarray(q)[:, 0]
@@ -49,7 +49,7 @@ def test_kernel_matches_dequantized_reference(T):
     logits[:, :, T:] = -np.inf
     w = np.exp(logits - logits.max(-1, keepdims=True))
     w = w / w.sum(-1, keepdims=True)
-    ref = np.einsum("bht,bhtd->bhd", w, vq) * vs[None]
+    ref = np.einsum("bht,bhdt->bhd", w, vqt) * vs[None]
 
     got = np.asarray(out)[:, 0]
     np.testing.assert_allclose(got, ref, atol=5e-3)
@@ -77,11 +77,11 @@ def test_padded_positions_have_zero_weight():
         )
     ).astype(jnp.bfloat16) - 0.5
     kv = quantize_cross_kv_decode(k, v)
-    assert kv["k_dec"].shape[-1] > T  # padding exists
+    assert kv["kv_dec"].shape[-1] > T  # padding exists
     q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
     out = np.asarray(
         cross_attention_decode(
-            q, kv["k_dec"][0], kv["k_dec_scale"][0], kv["v_dec"][0],
+            q, kv["kv_dec"][0], kv["k_dec_scale"][0],
             kv["v_dec_scale"][0], kv["k_len"], interpret=True,
         )
     )
@@ -128,16 +128,21 @@ def test_int4_kernel_matches_dequantized_reference(T):
         rng.standard_normal((L, B, T, H, D)).astype(np.float32)
     ).astype(jnp.bfloat16)
     kv = quantize_cross_kv_decode(k, v, bits=4)
-    assert kv["k_dec"].shape[-2] == D // 2  # packed along D
+    # fused packed layout: rows 0:D/2 = packed K, D/2:D = packed V^T
+    assert kv["kv_dec"].shape[-2] == D
     q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
 
     out = cross_attention_decode(
-        q, kv["k_dec"][0], kv["k_dec_scale"][0], kv["v_dec"][0],
+        q, kv["kv_dec"][0], kv["k_dec_scale"][0],
         kv["v_dec_scale"][0], kv["k_len"], bits=4, interpret=True,
     )
 
-    kq = np.asarray(unpack_int4(kv["k_dec"][0], axis=2), np.float32)
-    vq = np.asarray(unpack_int4(kv["v_dec"][0], axis=2), np.float32)
+    kq = np.asarray(
+        unpack_int4(kv["kv_dec"][0][:, :, : D // 2], axis=2), np.float32
+    )
+    vqt = np.asarray(
+        unpack_int4(kv["kv_dec"][0][:, :, D // 2 :], axis=2), np.float32
+    )
     ks = np.asarray(kv["k_dec_scale"][0])
     vs = np.asarray(kv["v_dec_scale"][0])
     qn = np.asarray(q)[:, 0]
@@ -145,7 +150,7 @@ def test_int4_kernel_matches_dequantized_reference(T):
     logits[:, :, T:] = -np.inf
     w = np.exp(logits - logits.max(-1, keepdims=True))
     w = w / w.sum(-1, keepdims=True)
-    ref = np.einsum("bht,bhtd->bhd", w, vq) * vs[None]
+    ref = np.einsum("bht,bhdt->bhd", w, vqt) * vs[None]
 
     got = np.asarray(out)[:, 0]
     np.testing.assert_allclose(got, ref, atol=5e-3)
@@ -166,8 +171,10 @@ def test_int4_quantization_error_bounded():
     k = jnp.asarray(rng.standard_normal((L, B, T, H, D)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((L, B, T, H, D)).astype(np.float32))
     kv = quantize_cross_kv_decode(k, v, bits=4)
-    # K decode layout [L,B,H,D,Kp] -> dequant -> [L,B,T,H,D]
-    kq = np.asarray(unpack_int4(kv["k_dec"], axis=3), np.float32)
+    # fused K half [L,B,H,D/2,Kp] packed -> dequant -> [L,B,T,H,D]
+    kq = np.asarray(
+        unpack_int4(kv["kv_dec"][:, :, :, : D // 2], axis=3), np.float32
+    )
     ks = np.asarray(kv["k_dec_scale"])  # [L, H, D]
     deq = (kq * ks[:, None, :, :, None]).transpose(0, 1, 4, 2, 3)[:, :, :T]
     err = np.abs(deq - np.asarray(k))
@@ -241,14 +248,13 @@ def test_beam_shared_kv_matches_replicated():
     )
 
     shared = cross_attention_decode_layered(
-        q, kv["k_dec"], kv["k_dec_scale"][0], kv["v_dec"],
+        q, kv["kv_dec"], kv["k_dec_scale"][0],
         kv["v_dec_scale"][0], jnp.int32(0), kv["k_len"],
         beam=beam, interpret=True,
     )
-    k_rep = jnp.repeat(kv["k_dec"], beam, axis=1)
-    v_rep = jnp.repeat(kv["v_dec"], beam, axis=1)
+    kv_rep = jnp.repeat(kv["kv_dec"], beam, axis=1)
     replicated = cross_attention_decode_layered(
-        q, k_rep, kv["k_dec_scale"][0], v_rep,
+        q, kv_rep, kv["k_dec_scale"][0],
         kv["v_dec_scale"][0], jnp.int32(0), kv["k_len"],
         interpret=True,
     )

@@ -421,7 +421,7 @@ def beam_decode(
             return {"k": c["k"][:, idx], "v": c["v"][:, idx]}
 
         def expand_cross(ckv):
-            if "k_dec" in ckv:
+            if "kv_dec" in ckv:
                 # decode-layout KV (the Pallas kernel path): beams
                 # SHARE their window's K/V via the kernel's i//beam
                 # index map instead of replicating it — the CT2-style

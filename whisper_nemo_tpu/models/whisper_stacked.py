@@ -85,9 +85,8 @@ def quantize_cross_kv_decode_layout(cross_kv: dict, bits: int = 8) -> dict:
 
     out = quantize_cross_kv_decode(cross_kv["k"], cross_kv["v"], bits=bits)
     return {
-        "k_dec": out["k_dec"],
+        "kv_dec": out["kv_dec"],
         "k_dec_scale": out["k_dec_scale"],
-        "v_dec": out["v_dec"],
         "v_dec_scale": out["v_dec_scale"],
         "_k_len": out["k_len"],
         "_bits": bits,
@@ -163,7 +162,7 @@ def prefill_cache_stacked(
         ]
 
     quantized = "k_q" in cross_kv
-    dec_quant = "k_dec" in cross_kv
+    dec_quant = "kv_dec" in cross_kv
     cross_len = cross_kv.get("_k_len")
     kv_bits = cross_kv.get("_bits", 8)
     scanned_kv = {
@@ -216,16 +215,19 @@ def prefill_cache_stacked(
 
 
 def _cross_prefill_declayout(qc, ckv, cross_len: int, bits: int = 8):
-    """Prefill cross-attention over the decode-layout int8/int4 KV
-    (ops/cross_decode.py): K [B, H, D, Kp], V [B, H, Kp, D]. Runs once
-    per decode, so the dequantizing einsum's lowering cost is
-    immaterial here; the step loop uses the Pallas kernel instead."""
-    k_dec, v_dec = ckv["k_dec"], ckv["v_dec"]
+    """Prefill cross-attention over the fused decode-layout KV
+    (ops/cross_decode.py): one [B, H, 2D, Kp] array, rows 0:D = K,
+    rows D:2D = V transposed. Runs once per decode, so the
+    dequantizing einsum's lowering cost is immaterial here; the step
+    loop uses the Pallas kernel instead."""
+    kv = ckv["kv_dec"]
+    half = kv.shape[2] // 2
+    k_dec, vt_dec = kv[:, :, :half], kv[:, :, half:]
     if bits == 4:
         from ..ops.cross_decode import unpack_int4
 
-        k_dec = unpack_int4(k_dec, axis=2)  # [B, H, D, Kp]
-        v_dec = unpack_int4(v_dec, axis=2)  # [B, H, Kp, D]
+        k_dec = unpack_int4(k_dec, axis=2)   # [B, H, D, Kp]
+        vt_dec = unpack_int4(vt_dec, axis=2)
     b, p_len = qc.shape[0], qc.shape[1]
     scale = qc.shape[-1] ** -0.5
     qs = qc * (ckv["k_dec_scale"][None, None] * scale).astype(qc.dtype)
@@ -241,7 +243,7 @@ def _cross_prefill_declayout(qc, ckv, cross_len: int, bits: int = 8):
         )
     w = jax.nn.softmax(logits, axis=-1).astype(qc.dtype)
     cross = jnp.einsum(
-        "bhqt,bhtd->bqhd", w, v_dec.astype(qc.dtype)
+        "bhqt,bhdt->bqhd", w, vt_dec.astype(qc.dtype)
     ) * ckv["v_dec_scale"][None, None].astype(qc.dtype)
     return cross
 
@@ -284,7 +286,7 @@ def decode_step_stacked(
         ]
 
     quantized = "k_q" in cross_kv
-    dec_quant = "k_dec" in cross_kv
+    dec_quant = "kv_dec" in cross_kv
     cross_len = cross_kv.get("_k_len")
     kv_bits = cross_kv.get("_bits", 8)
     # beam lanes share their window's K/V inside the kernel (beam
@@ -300,8 +302,7 @@ def decode_step_stacked(
         # self-attention cache stays a scan carry updated in place —
         # both avoid full-buffer copies every layer step (profiled at
         # ~5 ms of a 9 ms step at batch 16)
-        k_dec_full = scanned_kv.pop("k_dec")
-        v_dec_full = scanned_kv.pop("v_dec")
+        kv_dec_full = scanned_kv.pop("kv_dec")
 
         from ..ops.cross_decode import cross_attention_decode_layered
 
@@ -341,7 +342,7 @@ def decode_step_stacked(
                 _linear(blk["cross_attn"]["q"], xq), dims.n_text_head
             )
             cross = cross_attention_decode_layered(
-                qc, k_dec_full, ckv["k_dec_scale"], v_dec_full,
+                qc, kv_dec_full, ckv["k_dec_scale"],
                 ckv["v_dec_scale"], li, cross_len, bits=kv_bits,
                 beam=kv_beam, interpret=interpret,
             ).astype(qc.dtype)

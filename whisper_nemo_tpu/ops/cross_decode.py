@@ -1,19 +1,28 @@
 """Pallas flash-decode kernel for Whisper's cross-attention.
 
 Every decode step re-reads the full per-window encoder K/V (1500 audio
-positions x 24 layers); at batch 16 that is ~1.2 GB of int8 per step —
+positions x 24 layers); at batch 32 that is ~2.4 GB of int8 per step —
 the decode loop's dominant HBM stream. XLA lowers the dequantizing
-einsum pair to VPU loop fusions that run ~5x above the bandwidth floor
-(profiled: 0.27 ms per layer-step vs the 0.06 ms DMA floor), so this
-module provides a dedicated kernel:
+einsum pair to VPU loop fusions that run far above the bandwidth
+floor, so this module provides a dedicated kernel. Its layout is the
+product of a measured ladder on the v5e (docs/ROADMAP.md):
 
-- cross-K/V is stored int8 as ``[B, H, D, K]`` / ``[B, H, K, D]`` —
-  lane-major layouts whose per-batch blocks DMA contiguously;
+- a pure-DMA kernel body costs the same as the full attention body —
+  the kernel is HBM-bound, body compute hides under the stream;
+- TWO block DMAs per program (separate K and V arrays, 1.5 MB each)
+  reach only ~460 GB/s; ONE fused 3.1 MB DMA reaches ~680 GB/s — so
+  K and V^T are stored INTERLEAVED in a single ``[L, B, H, 2D, Kp]``
+  array (sublane rows 0:D are K for the scores contraction over D,
+  rows D:2D are V TRANSPOSED so the mix contracts over the lane axis);
+- int4 packing halves the stream (2.75 ms/step DMA floor measured)
+  but in-kernel nibble unpacking is VPU-bound at ~5 ms/step — slower
+  than the int8 stream it saves; int4 therefore remains a MEMORY
+  lever (``bits=4`` halves residency), not a speed lever, and int8 is
+  the speed default;
 - per-channel scales fold into the query (for K) and the output (for
   V), so nothing is ever dequantized in HBM;
-- each grid step loads one batch row's K/V block into VMEM, runs the
-  two tiny MXU contractions and an f32 softmax in-register, and writes
-  the [H, D] result.
+- beam-search lanes share their window's block via the ``i // beam``
+  index map instead of the CT2-style per-lane replication.
 
 Reference contract: numerically equivalent (to bf16 rounding) to the
 quantized einsum path in models/whisper_stacked.py decode_step_stacked
@@ -54,17 +63,20 @@ def unpack_int4(packed: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def quantize_cross_kv_decode(cross_kv_bf16_k, cross_kv_bf16_v, bits=8):
-    """[L, B, T, H, D] bf16 K and V -> decode-layout quantized dict.
+    """[L, B, T, H, D] bf16 K and V -> fused decode-layout dict.
 
-    K is stored ``[L, B, H, D, Kp]`` (scores contraction over D, K on
-    lanes); V is stored ``[L, B, H, Kp, D]`` (output contraction over
-    K). ``Kp`` pads T to the 128-lane multiple; padded positions carry
-    zeros and are masked inside the kernel.
+    ``kv_dec`` is one ``[L, B, H, 2D, Kp]`` int8 array: sublane rows
+    ``0:D`` hold K (scores contraction over D, audio positions on
+    lanes), rows ``D:2D`` hold V TRANSPOSED (the weighted mix then
+    contracts over the lane axis) — one contiguous block DMA per
+    (layer, batch) program instead of two (measured ~680 vs ~460 GB/s
+    effective on the v5e). ``Kp`` pads T to the 128-lane multiple;
+    padded positions carry zeros and are masked inside the kernel.
 
-    ``bits=4`` halves the stream again (the CT2-int8 analogue taken one
-    step further): values quantize to [-7, 7] with per-(L, H, D)
-    channel scales and pack two per byte via :func:`pack_int4` — K
-    along D (axis 3 of the decode layout), V along Kp.
+    ``bits=4`` packs each half along D via :func:`pack_int4` (rows
+    ``0:D/2`` packed K, ``D/2:D`` packed V^T -> ``[L, B, H, D, Kp]``),
+    halving residency; values quantize to [-7, 7] with per-(L, H, D)
+    channel scales.
     """
     t = cross_kv_bf16_k.shape[2]
     t_pad = -t % _LANE
@@ -81,66 +93,73 @@ def quantize_cross_kv_decode(cross_kv_bf16_k, cross_kv_bf16_v, bits=8):
 
     k_q, k_scale = quant(cross_kv_bf16_k)
     v_q, v_scale = quant(cross_kv_bf16_v)
-    # K: [L,B,T,H,D] -> [L,B,H,D,T(+pad)]
+    # both halves to [L, B, H, D, T(+pad)] — V transposed like K
     k_q = jnp.pad(
         k_q.transpose(0, 1, 3, 4, 2), ((0, 0),) * 4 + ((0, t_pad),)
     )
-    # V: [L,B,T,H,D] -> [L,B,H,T(+pad),D]
     v_q = jnp.pad(
-        v_q.transpose(0, 1, 3, 2, 4),
-        ((0, 0),) * 3 + ((0, t_pad), (0, 0)),
+        v_q.transpose(0, 1, 3, 4, 2), ((0, 0),) * 4 + ((0, t_pad),)
     )
     if bits == 4:
-        k_q = pack_int4(k_q, axis=3)   # D -> D/2 bytes
-        v_q = pack_int4(v_q, axis=3)   # Kp -> Kp/2 bytes
+        k_q = pack_int4(k_q, axis=3)   # D -> D/2 byte rows
+        v_q = pack_int4(v_q, axis=3)
     return {
-        "k_dec": k_q,
+        "kv_dec": jnp.concatenate([k_q, v_q], axis=3),
         "k_dec_scale": k_scale,
-        "v_dec": v_q,
         "v_dec_scale": v_scale,
         "k_len": t,
         "bits": bits,
     }
 
 
-def _unpack_bf16(block: jnp.ndarray, bits: int) -> jnp.ndarray:
-    """In-register dequant of one head's K or V block to bf16. For
-    ``bits=4`` the packed byte rows expand along axis 0 (split-half
-    layout of :func:`pack_int4`: low nibbles are the first half, high
-    nibbles the second — a concat, never an interleave)."""
+def _split_unpack_bf16(blk: jnp.ndarray, bits: int):
+    """One head's fused block [2D, Kp] int8 (or [D, Kp] packed) ->
+    (K [D, Kp], V^T [D, Kp]) in bf16. bits=4 rows expand along axis 0
+    (split-half layout of :func:`pack_int4` — a concat, never an
+    interleave)."""
+    half = blk.shape[0] // 2
+    k_half, v_half = blk[:half], blk[half:]
     if bits == 4:
-        p = block.astype(jnp.int32)
-        return jnp.concatenate(
-            [(p << 28) >> 28, p >> 4], axis=0
-        ).astype(jnp.bfloat16)
-    return block.astype(jnp.bfloat16)
+        def up(p):
+            p = p.astype(jnp.int32)
+            return jnp.concatenate(
+                [(p << 28) >> 28, p >> 4], axis=0
+            ).astype(jnp.bfloat16)
+        return up(k_half), up(v_half)
+    return k_half.astype(jnp.bfloat16), v_half.astype(jnp.bfloat16)
 
 
-def _kernel(qs_ref, kq_ref, vq_ref, out_ref, *, k_len: int, bits: int = 8):
-    """One batch row: qs [H, D] (scales pre-folded), K [H, D, Kp] s8
-    (or [H, D/2, Kp] int4-packed), V [H, Kp, D] s8 (or [H, Kp/2, D])
-    -> out [H, D] f32.
+def _head_attend(q_h, k_h, vt_h, k_len: int):
+    """[1, D] query x K [D, Kp] x V^T [D, Kp] -> [D] f32. The mix
+    contracts over the LANE axis of both w and V^T (dot_general) —
+    V never exists untransposed in VMEM."""
+    logits = jnp.dot(
+        q_h, k_h, preferred_element_type=jnp.float32
+    )  # [1, Kp]
+    kp = logits.shape[-1]
+    if kp > k_len:
+        pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(pos < k_len, logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        w, vt_h, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]  # [D]
 
-    Heads unroll statically into per-head 2D matmuls — Mosaic's dot
-    lowering takes plain 2D contractions, and the softmax is per-head
-    anyway. Quantized blocks convert to bf16 per head in-register; the
+
+def _kernel(qs_ref, kv_ref, out_ref, *, k_len: int, bits: int = 8):
+    """One batch row: qs [H, D] (scales pre-folded), fused KV
+    [H, 2D, Kp] s8 (or [H, D, Kp] int4-packed) -> out [H, D] f32.
+
+    Heads unroll statically into per-head 2D contractions — Mosaic's
+    dot lowering takes plain 2D shapes, and the softmax is per-head
+    anyway. Blocks convert to bf16 per head in-register; the
     dequantized K/V never exists outside VMEM."""
     h = qs_ref.shape[1]
     for i in range(h):
         q_h = qs_ref[0, i][None].astype(jnp.bfloat16)  # [1, D]
-        k_h = _unpack_bf16(kq_ref[0, i], bits)  # [D, Kp]
-        logits = jnp.dot(
-            q_h, k_h, preferred_element_type=jnp.float32
-        )  # [1, Kp]
-        kp = logits.shape[-1]
-        if kp > k_len:
-            pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(pos < k_len, logits, -jnp.inf)
-        w = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
-        v_h = _unpack_bf16(vq_ref[0, i], bits)  # [Kp, D]
-        out_ref[0, i] = jnp.dot(
-            w, v_h, preferred_element_type=jnp.float32
-        )[0]
+        k_h, vt_h = _split_unpack_bf16(kv_ref[0, i], bits)
+        out_ref[0, i] = _head_attend(q_h, k_h, vt_h, k_len)
 
 
 @functools.partial(
@@ -148,9 +167,8 @@ def _kernel(qs_ref, kq_ref, vq_ref, out_ref, *, k_len: int, bits: int = 8):
 )
 def cross_attention_decode(
     q: jnp.ndarray,  # [B, 1, H, D] (pre-softmax-scale query)
-    k_dec: jnp.ndarray,  # [B, H, D, Kp] int8 (D/2 when bits=4)
+    kv_dec: jnp.ndarray,  # [B, H, 2D, Kp] int8 ([B, H, D, Kp] bits=4)
     k_scale: jnp.ndarray,  # [H, D] f32
-    v_dec: jnp.ndarray,  # [B, H, Kp, D] int8 (Kp/2 when bits=4)
     v_scale: jnp.ndarray,  # [H, D] f32
     k_len: int,
     bits: int = 8,
@@ -174,12 +192,7 @@ def cross_attention_decode(
                 (1, h, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, h, k_dec.shape[-2], k_dec.shape[-1]),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, h, v_dec.shape[-2], d),
+                (1, h, kv_dec.shape[-2], kv_dec.shape[-1]),
                 lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -189,12 +202,12 @@ def cross_attention_decode(
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * d * k_dec.shape[-1] * 2,
-            bytes_accessed=k_dec.size + v_dec.size + 4 * b * h * d * 2,
-            transcendentals=b * h * k_dec.shape[-1],
+            flops=2 * b * h * d * kv_dec.shape[-1] * 2,
+            bytes_accessed=kv_dec.size + 4 * b * h * d * 2,
+            transcendentals=b * h * kv_dec.shape[-1],
         ),
         interpret=interpret,
-    )(qs, k_dec, v_dec)
+    )(qs, kv_dec)
 
     out = out * v_scale[None]  # [B, H, D]
     return out[:, None]  # [B, 1, H, D]
@@ -205,9 +218,8 @@ def cross_attention_decode(
 )
 def cross_attention_decode_layered(
     q: jnp.ndarray,  # [B·beam, 1, H, D]
-    k_dec: jnp.ndarray,  # [L, B, H, D, Kp] int8 — the FULL stack
+    kv_dec: jnp.ndarray,  # [L, B, H, 2D, Kp] int8 — the FULL stack
     k_scale: jnp.ndarray,  # [H, D] f32 (this layer's)
-    v_dec: jnp.ndarray,  # [L, B, H, Kp, D] int8 — the FULL stack
     v_scale: jnp.ndarray,  # [H, D] f32 (this layer's)
     layer: jnp.ndarray,  # scalar int32
     k_len: int,
@@ -217,12 +229,12 @@ def cross_attention_decode_layered(
 ) -> jnp.ndarray:
     """As ``cross_attention_decode`` but indexing the layer INSIDE the
     kernel via scalar prefetch: the layer-scan body passes the whole
-    stacked K/V and the grid DMAs only layer ``layer``'s blocks — the
+    stacked KV and the grid DMAs only layer ``layer``'s blocks — the
     per-layer ``dynamic_slice`` copy XLA would otherwise materialize
     cost ~2.5 ms per decode step at batch 16 (profiled).
 
     ``beam > 1``: the query batch carries ``beam`` hypothesis lanes per
-    audio window ([w0·k lanes..] row-major) while K/V stay at the WINDOW
+    audio window ([w0·k lanes..] row-major) while KV stays at the WINDOW
     batch — the index map sends lane ``i`` to window block ``i //
     beam``, and consecutive lanes of the same window reuse the resident
     VMEM block (Mosaic skips the DMA when the block index repeats). The
@@ -245,12 +257,7 @@ def cross_attention_decode_layered(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, h, k_dec.shape[-2], k_dec.shape[-1]),
-                lambda i, l: (l[0], i // beam, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, h, v_dec.shape[-2], d),
+                (1, 1, h, kv_dec.shape[-2], kv_dec.shape[-1]),
                 lambda i, l: (l[0], i // beam, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -260,43 +267,28 @@ def cross_attention_decode_layered(
         ),
     )
 
-    def kernel(l_ref, qs_ref, kq_ref, vq_ref, out_ref):
+    def kernel(l_ref, qs_ref, kv_ref, out_ref):
         # blocks arrive [1, 1, h, ...] (layer, batch leading); same
-        # per-head 2D matmul body as _kernel
+        # per-head body as _kernel
         n_heads = qs_ref.shape[1]
         for i in range(n_heads):
             q_h = qs_ref[0, i][None].astype(jnp.bfloat16)  # [1, D]
-            k_h = _unpack_bf16(kq_ref[0, 0, i], bits)  # [D, Kp]
-            logits = jnp.dot(
-                q_h, k_h, preferred_element_type=jnp.float32
-            )
-            kp = logits.shape[-1]
-            if kp > k_len:
-                pos = jax.lax.broadcasted_iota(
-                    jnp.int32, logits.shape, 1
-                )
-                logits = jnp.where(pos < k_len, logits, -jnp.inf)
-            w = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
-            v_h = _unpack_bf16(vq_ref[0, 0, i], bits)  # [Kp, D]
-            out_ref[0, i] = jnp.dot(
-                w, v_h, preferred_element_type=jnp.float32
-            )[0]
+            k_h, vt_h = _split_unpack_bf16(kv_ref[0, 0, i], bits)
+            out_ref[0, i] = _head_attend(q_h, k_h, vt_h, k_len)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bq, h, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bq * h * d * k_dec.shape[-1] * 2,
+            flops=2 * bq * h * d * kv_dec.shape[-1] * 2,
             bytes_accessed=(
-                k_dec.size // k_dec.shape[0]
-                + v_dec.size // v_dec.shape[0]
-                + 4 * bq * h * d * 2
+                kv_dec.size // kv_dec.shape[0] + 4 * bq * h * d * 2
             ),
-            transcendentals=bq * h * k_dec.shape[-1],
+            transcendentals=bq * h * kv_dec.shape[-1],
         ),
         interpret=interpret,
-    )(lidx, qs, k_dec, v_dec)
+    )(lidx, qs, kv_dec)
 
     out = out * v_scale[None]  # [B, H, D]
     return out[:, None]  # [B, 1, H, D]
