@@ -235,51 +235,63 @@ def cross_attention_decode_layered(
 
     ``beam > 1``: the query batch carries ``beam`` hypothesis lanes per
     audio window ([w0·k lanes..] row-major) while KV stays at the WINDOW
-    batch — the index map sends lane ``i`` to window block ``i //
-    beam``, and consecutive lanes of the same window reuse the resident
-    VMEM block (Mosaic skips the DMA when the block index repeats). The
+    batch — lanes of the same window share one resident VMEM block. The
     CT2-style replicated-KV beam pays ``beam``× the decode loop's
-    dominant HBM stream; this shares it."""
+    dominant HBM stream; this shares it.
+
+    The grid is one program per WINDOW (not per lane): all ``beam``
+    lanes of a window ride that window's single block DMA. Merging
+    multiple windows per program (2× / 4× bigger DMAs) was measured
+    FLAT-TO-NEGATIVE (8.63 -> 8.77 ms/step int8-medium-b32: the 3.1 MB
+    fused block already saturates the stream, and doubling the
+    double-buffered residency hurts pipelining), so ``rows`` stays
+    1."""
     bq = q.shape[0]
     _, _, h, d = q.shape
+    n_windows = bq // beam
+    rows = 1
     sm_scale = d**-0.5
     qs = (
         q[:, 0].astype(jnp.float32) * (k_scale * sm_scale)[None]
     )  # [B·beam, H, D]
+    qs = qs.reshape(n_windows // rows, rows * beam * h, d)
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bq,),
+        grid=(n_windows // rows,),
         in_specs=[
             pl.BlockSpec(
-                (1, h, d), lambda i, l: (i, 0, 0),
+                (1, rows * beam * h, d), lambda i, l: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, h, kv_dec.shape[-2], kv_dec.shape[-1]),
-                lambda i, l: (l[0], i // beam, 0, 0, 0),
+                (1, rows, h, kv_dec.shape[-2], kv_dec.shape[-1]),
+                lambda i, l: (l[0], i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, h, d), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, rows * beam * h, d), lambda i, l: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
     )
 
     def kernel(l_ref, qs_ref, kv_ref, out_ref):
-        # blocks arrive [1, 1, h, ...] (layer, batch leading); same
-        # per-head body as _kernel
-        n_heads = qs_ref.shape[1]
-        for i in range(n_heads):
-            q_h = qs_ref[0, i][None].astype(jnp.bfloat16)  # [1, D]
-            k_h, vt_h = _split_unpack_bf16(kv_ref[0, 0, i], bits)
-            out_ref[0, i] = _head_attend(q_h, k_h, vt_h, k_len)
+        # qs block [1, rows·beam·h, d]; kv block [1, rows, h, ...]
+        for j in range(rows * beam * h):
+            w = j // (beam * h)
+            head = j % h
+            q_h = qs_ref[0, j][None].astype(jnp.bfloat16)  # [1, D]
+            k_h, vt_h = _split_unpack_bf16(kv_ref[0, w, head], bits)
+            out_ref[0, j] = _head_attend(q_h, k_h, vt_h, k_len)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bq, h, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_windows // rows, rows * beam * h, d), jnp.float32
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bq * h * d * kv_dec.shape[-1] * 2,
             bytes_accessed=(
@@ -290,5 +302,5 @@ def cross_attention_decode_layered(
         interpret=interpret,
     )(lidx, qs, kv_dec)
 
-    out = out * v_scale[None]  # [B, H, D]
+    out = out.reshape(bq, h, d) * v_scale[None]  # [B·beam, H, D]
     return out[:, None]  # [B, 1, H, D]
