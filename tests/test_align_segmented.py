@@ -74,7 +74,9 @@ def test_align_segments_end_to_end(monkeypatch):
     import whisper_nemo_tpu.align.segmented as seg_mod
 
     monkeypatch.setattr(
-        seg_mod, "generate_emissions", lambda m, a, b: (em, stride)
+        seg_mod,
+        "generate_emissions",
+        lambda m, a, b, device=False: (em, stride),
     )
 
     segments = [
@@ -88,3 +90,89 @@ def test_align_segments_end_to_end(monkeypatch):
     assert abs(words[1]["start"] - 6.0) < 0.15
     assert abs(words[1]["end"] - 6.4) < 0.15
     assert all(w["score"] > 0.5 for w in words)
+
+
+def test_device_blocks_match_prepare_item():
+    """_viterbi_group_device's on-device block assembly must reproduce
+    _prepare_item's layout exactly, and its returned per-frame scores
+    must equal the emissions the host oracle would have read."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.align.segmented import (
+        _T_BUCKETS,
+        _extend_labels,
+        _viterbi_batch,
+        _viterbi_group_device,
+    )
+    from whisper_nemo_tpu.ops.ctc import (
+        _gather_state_emissions,
+    )
+
+    tok = AlignmentTokenizer()
+    rng = np.random.default_rng(7)
+    V = len(tok.vocab) - 1
+    T_full = 700
+    em_full = rng.standard_normal((T_full, V)).astype(np.float32)
+    em_star = add_star_column(em_full, tok.blank_id)
+    v = em_star.shape[1]
+
+    t_b, l_b = 128, 32
+    spans = [(0, 100), (50, 178), (600, 700), (650, 700)]
+    labels_list = [
+        np.asarray(rng.integers(1, V, size=n), np.int32)
+        for n in (5, 12, 3, 30)
+    ]
+
+    # host oracle blocks
+    host_blocks, slabels, skips = [], [], []
+    for (t0, t1), labels in zip(spans, labels_list):
+        from whisper_nemo_tpu.align.segmented import (
+            _prepare_item,
+            _trellis_arrays,
+        )
+
+        em_blk, labels_ext, _ = _prepare_item(
+            em_star[t0:t1], labels, t_b, l_b
+        )
+        sl, sk = _trellis_arrays(labels_ext, tok.blank_id)
+        host_blocks.append(em_blk)
+        slabels.append(sl)
+        skips.append(sk)
+
+    em_pad = jnp.pad(
+        jnp.asarray(em_star), ((0, _T_BUCKETS[-1]), (0, 0)),
+        constant_values=np.float32(
+            __import__("whisper_nemo_tpu.ops.ctc", fromlist=["NEG_INF"]).NEG_INF
+        ),
+    )
+    t0s = jnp.asarray([s for s, _ in spans], jnp.int32)
+    t_effs = jnp.asarray(
+        [min(t1 - t0, t_b) for t0, t1 in spans], jnp.int32
+    )
+    paths_dev, scores_dev = _viterbi_group_device(
+        em_pad, t0s, t_effs,
+        jnp.asarray(np.stack(slabels)), jnp.asarray(np.stack(skips)),
+        t_b=t_b, l_b=l_b,
+    )
+
+    # paths must match the host-block viterbi bit-for-bit
+    paths_host = np.asarray(
+        _viterbi_batch(
+            jnp.asarray(np.stack(host_blocks)),
+            jnp.asarray(np.stack(slabels)),
+            jnp.asarray(np.stack(skips)),
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(paths_dev), paths_host)
+
+    # scores must equal the emissions the host oracle reads
+    e_states = jax.vmap(_gather_state_emissions)(
+        jnp.asarray(np.stack(host_blocks)), jnp.asarray(np.stack(slabels))
+    )
+    expected = np.take_along_axis(
+        np.asarray(e_states), paths_host[:, :, None], axis=2
+    )[..., 0]
+    np.testing.assert_allclose(
+        np.asarray(scores_dev), expected, rtol=0, atol=0
+    )

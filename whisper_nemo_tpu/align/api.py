@@ -163,11 +163,18 @@ def generate_emissions(
     model: AlignmentModel,
     waveform: np.ndarray,
     batch_size: int = 8,
+    device: bool = False,
 ) -> Tuple[np.ndarray, float]:
     """Waveform -> (log-prob emissions [T, V], stride in ms per frame).
 
     Audio is processed as batched 30 s chunks; the trailing chunk is
     zero-padded and its emissions trimmed proportionally.
+
+    ``device=True`` keeps the emissions on the accelerator (a jnp
+    array) instead of collecting to host numpy — at hour scale the
+    [T, V] array is ~24 MB, and the segmented aligner consumes it
+    entirely on device (align/segmented.py), so moving it over the
+    host link is pure waste.
     """
     chunk = CHUNK_SECONDS * SAMPLE_RATE
     n_samples = (
@@ -190,8 +197,13 @@ def generate_emissions(
         futures.append(
             logits_fn(model.params, chunks[i : i + batch_size])
         )
-    pieces = [np.asarray(f) for f in futures]
-    emissions = np.concatenate(pieces, axis=0)  # [≥n_chunks, T_c, V]
+    if device:
+        import jax.numpy as jnp
+
+        emissions = jnp.concatenate(futures, axis=0)
+    else:
+        pieces = [np.asarray(f) for f in futures]
+        emissions = np.concatenate(pieces, axis=0)  # [≥n_chunks, T_c, V]
     t_per_chunk = emissions.shape[1]
     emissions = emissions[:n_chunks].reshape(-1, emissions.shape[-1])
 

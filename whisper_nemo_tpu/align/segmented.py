@@ -19,13 +19,14 @@ afterwards.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ctc import NEG_INF, _viterbi_backtrack, add_star_column
+from ..ops.ctc import NEG_INF, _viterbi_backtrack
 from .api import AlignmentModel, AlignmentTokenizer, generate_emissions
 from .text import preprocess_text
 
@@ -50,6 +51,72 @@ def _viterbi_batch(emissions, state_labels, allow_skip):
     return paths
 
 
+def _add_star_device(emissions, blank_id: int,
+                     discount: float = float(np.log(0.5))):
+    """Device twin of ops.ctc.add_star_column (jnp in, jnp out)."""
+    masked = emissions.at[:, blank_id].set(NEG_INF)
+    star = masked.max(axis=1, keepdims=True) + discount
+    return jnp.concatenate([emissions, star], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("t_b", "l_b"))
+def _viterbi_group_device(em_pad, t0s, t_effs, state_labels, allow_skip,
+                          t_b: int, l_b: int):
+    """One bucket group, entirely on device: slice each segment's span
+    out of the resident emissions, assemble the padded block that
+    :func:`_prepare_item` specifies (that host function remains the
+    readable layout reference and the unit-test oracle), run the
+    batched Viterbi, and return the state paths plus the per-frame
+    emission score of the chosen state.
+
+    Only [B, t_b + l_b] paths (int32) and scores (f32) leave the
+    device — the hour-scale [T, V] emissions array never crosses the
+    host link (~24 MB down plus a ~2x padded re-upload per call on the
+    old host path, which dominated the align stage whenever the tunnel
+    ran below its ~25-45 MB/s healthy band).
+    """
+    from ..ops.ctc import _gather_state_emissions, _viterbi_forward_states
+
+    v = em_pad.shape[1]
+    pad_cols = jnp.full((t_b, 2), NEG_INF, em_pad.dtype)
+
+    def build(t0, t_eff):
+        raw = jax.lax.dynamic_slice(em_pad, (t0, 0), (t_b, v))
+        rows = jnp.arange(t_b)
+        real = rows < t_eff
+        top = jnp.where(real[:, None], raw, NEG_INF)
+        # idle frames between t_eff and the bucket edge: blank-certain
+        top = top.at[:, 0].set(jnp.where(real, raw[:, 0], 0.0))
+        return jnp.concatenate([top, pad_cols], axis=1)
+
+    tops = jax.vmap(build)(t0s, t_effs)  # [B, t_b, v+2]
+    # free frames: only blank and the two pad labels are admissible
+    bottom = jnp.full((v + 2,), NEG_INF, em_pad.dtype)
+    bottom = bottom.at[0].set(0.0).at[v].set(0.0).at[v + 1].set(0.0)
+    bottoms = jnp.broadcast_to(
+        bottom, (tops.shape[0], l_b, v + 2)
+    )
+    blocks = jnp.concatenate([tops, bottoms], axis=1)
+
+    e_states = jax.vmap(_gather_state_emissions)(blocks, state_labels)
+    alphas, bps = jax.vmap(_viterbi_forward_states)(e_states, allow_skip)
+    paths = jax.vmap(_viterbi_backtrack)(alphas, bps)
+    scores = jnp.take_along_axis(e_states, paths[:, :, None], axis=2)
+    return paths, scores[..., 0]
+
+
+def _extend_labels(labels: np.ndarray, l_bucket: int, v: int) -> np.ndarray:
+    """Pad a label row to ``l_bucket`` with alternating pad-label ids
+    (``v`` and ``v+1`` — the two columns appended past the vocabulary)."""
+    pad0, pad1 = v, v + 1
+    l = min(len(labels), l_bucket)
+    labels_ext = np.empty((l_bucket,), np.int32)
+    labels_ext[:l] = labels[:l]
+    for i in range(l, l_bucket):
+        labels_ext[i] = pad0 if (i - l) % 2 == 0 else pad1
+    return labels_ext
+
+
 def _prepare_item(
     em_star: np.ndarray,  # [t, V] emissions incl. star column
     labels: np.ndarray,  # [l] ids into V
@@ -57,7 +124,11 @@ def _prepare_item(
     l_bucket: int,
 ):
     """Pad one segment into (emissions [t_bucket + l_bucket, V+2],
-    labels [l_bucket], n_real_labels)."""
+    labels [l_bucket], n_real_labels).
+
+    Host reference for the device block builder in
+    :func:`_viterbi_group_device` (kept as the unit-test oracle —
+    tests/test_align_segmented.py pins the two against each other)."""
     t, v = em_star.shape
     t = min(t, t_bucket)  # oversize segments clip to the largest bucket
     l = len(labels)
@@ -74,10 +145,7 @@ def _prepare_item(
     em[t_bucket:, pad1] = 0.0
 
     l = min(l, l_bucket)  # a 30 s segment never carries >1024 char labels
-    labels_ext = np.empty((l_bucket,), np.int32)
-    labels_ext[:l] = labels[:l]
-    for i in range(l, l_bucket):
-        labels_ext[i] = pad0 if (i - l) % 2 == 0 else pad1
+    labels_ext = _extend_labels(labels, l_bucket, v)
     return em, labels_ext, l
 
 
@@ -111,13 +179,22 @@ def align_segments(
 
     debug = _os.environ.get("WNT_DEBUG_TIMING")
     t_start = _time.time()
-    emissions, stride = generate_emissions(model, audio, batch_size)
+    emissions, stride = generate_emissions(
+        model, audio, batch_size, device=True
+    )
     t_emissions = _time.time()
     t_total = emissions.shape[0]
-    em_star_full = add_star_column(emissions, tokenizer.blank_id)
-    v = em_star_full.shape[1]
+    em_star_full = _add_star_device(
+        jnp.asarray(emissions), tokenizer.blank_id
+    )
+    # headroom rows so every bucket's dynamic_slice stays in bounds
+    em_pad = jnp.pad(
+        em_star_full, ((0, _T_BUCKETS[-1]), (0, 0)),
+        constant_values=NEG_INF,
+    )
 
-    # build per-segment work items
+    # build per-segment work items (text/labels on host; audio frames
+    # stay device-resident — items carry only [t0, t1) indices)
     items = []
     for seg in segments:
         text = seg["text"].strip()
@@ -139,7 +216,7 @@ def align_segments(
         items.append(
             {
                 "t0": t0,
-                "em": em_star_full[t0:t1],
+                "t1": t1,
                 "labels": np.asarray(labels, np.int32),
                 "counts": token_label_counts,
                 "tokens_starred": tokens_starred,
@@ -147,51 +224,65 @@ def align_segments(
             }
         )
 
-    # group by (T, L) bucket and run batched Viterbi per group
+    # group by (T, L) bucket; dispatch every group's device Viterbi
+    # before collecting any (the tunnel round-trips overlap)
     groups: Dict[tuple, List[int]] = {}
     for i, item in enumerate(items):
         key = (
-            _bucket(item["em"].shape[0], _T_BUCKETS),
+            _bucket(item["t1"] - item["t0"], _T_BUCKETS),
             _bucket(len(item["labels"]), _L_BUCKETS),
         )
         groups.setdefault(key, []).append(i)
 
-    results: List[dict] = []
+    dispatched = []
     for (t_b, l_b), idxs in groups.items():
-        ems, slabels, skips = [], [], []
+        t0s, t_effs, slabels, skips = [], [], [], []
         for i in idxs:
-            em, labels_ext, _ = _prepare_item(
-                items[i]["em"], items[i]["labels"], t_b, l_b
+            item = items[i]
+            t0s.append(item["t0"])
+            t_effs.append(min(item["t1"] - item["t0"], t_b))
+            labels_ext = _extend_labels(
+                item["labels"], l_b, em_star_full.shape[1]
             )
             sl, sk = _trellis_arrays(labels_ext, tokenizer.blank_id)
-            ems.append(em)
             slabels.append(sl)
             skips.append(sk)
-        paths = np.asarray(
-            _viterbi_batch(
-                jnp.asarray(np.stack(ems)),
-                jnp.asarray(np.stack(slabels)),
-                jnp.asarray(np.stack(skips)),
-            )
+        paths_dev, scores_dev = _viterbi_group_device(
+            em_pad,
+            jnp.asarray(np.asarray(t0s, np.int32)),
+            jnp.asarray(np.asarray(t_effs, np.int32)),
+            jnp.asarray(np.stack(slabels)),
+            jnp.asarray(np.stack(skips)),
+            t_b=t_b,
+            l_b=l_b,
         )
+        dispatched.append(((t_b, l_b), idxs, paths_dev, scores_dev))
+
+    results: List[dict] = []
+    for (t_b, l_b), idxs, paths_dev, scores_dev in dispatched:
+        paths = np.asarray(paths_dev)
+        frame_scores = np.asarray(scores_dev)
         for row, i in enumerate(idxs):
             item = items[i]
             n_real = len(item["labels"])
-            t_real = item["em"].shape[0]
-            path = paths[row][: min(t_real, t_b)]
+            t_real = min(item["t1"] - item["t0"], t_b)
+            path = paths[row][:t_real]
             frame_labels = np.where(path % 2 == 1, (path - 1) // 2, -1)
             frame_labels = np.where(
                 frame_labels < n_real, frame_labels, -1
             ).astype(np.int32)
             results.extend(
-                _words_from_frames(item, frame_labels, stride)
+                _words_from_frames(
+                    item, frame_labels, frame_scores[row][:t_real], stride
+                )
             )
     results.sort(key=lambda w: w["start"])
     if debug:
         from ..utils import get_logger
 
         get_logger(__name__).info(
-            "align timing: emissions=%.2fs viterbi+post=%.2fs groups=%s",
+            "align timing: emissions-dispatch=%.2fs device+post=%.2fs"
+            " groups=%s",
             t_emissions - t_start,
             _time.time() - t_emissions,
             {k: len(vs) for k, vs in groups.items()},
@@ -199,11 +290,46 @@ def align_segments(
     return results
 
 
-def _words_from_frames(item, frame_labels, stride) -> List[dict]:
-    """Per-token spans → word rows with global-time conversion."""
-    from ..ops.ctc import label_segments
+def _label_segments_from_scores(
+    frame_labels: np.ndarray,
+    frame_scores: np.ndarray,
+    labels: np.ndarray,
+) -> List[dict]:
+    """ops.ctc.label_segments computed from the per-frame path scores
+    the device Viterbi returns instead of the full emissions matrix.
 
-    segs = label_segments(frame_labels, item["em"], item["labels"])
+    Identical values: the CTC state path is monotonic, so every frame
+    inside a label's [start, end) run has that label as its path state,
+    and ``frame_scores[t] == emissions[t, labels[i]]`` there.
+    """
+    n = len(labels)
+    out: List[dict] = []
+    starts = np.full(n, -1, np.int64)
+    ends = np.full(n, -1, np.int64)
+    for t, li in enumerate(frame_labels):
+        if li >= 0:
+            if starts[li] < 0:
+                starts[li] = t
+            ends[li] = t + 1
+    prev_end = 0
+    for i in range(n):
+        s, e = starts[i], ends[i]
+        if s < 0:  # label got no frames: zero-width at previous boundary
+            s = e = prev_end
+        score = float(np.exp(frame_scores[s:e]).mean()) if e > s else 0.0
+        out.append(
+            {"label": int(labels[i]), "start": int(s), "end": int(e),
+             "score": score}
+        )
+        prev_end = e
+    return out
+
+
+def _words_from_frames(item, frame_labels, frame_scores, stride) -> List[dict]:
+    """Per-token spans → word rows with global-time conversion."""
+    segs = _label_segments_from_scores(
+        frame_labels, frame_scores, item["labels"]
+    )
     words = []
     cursor = 0
     for tok, text, count in zip(
