@@ -30,12 +30,19 @@ def set_attention_impl(impl: str) -> None:
 def _resolve_impl() -> str:
     if _IMPL != "auto":
         return _IMPL
-    # measured on the v5 lite chip: the Pallas flash kernel (block 512
-    # + segment-id padding) runs the medium.en encoder at 0.657 s per
-    # 16-window batch vs 0.327 s for the XLA einsum path — at Whisper's
-    # T=1500 the [T, T] scores fit HBM comfortably and XLA's fused
-    # attention wins. "flash" remains available via
-    # set_attention_impl for longer-sequence use.
+    # r3 re-measure (tools/bench_encoder_attn.py, B32 H16 T1500 D64 on
+    # the v5 lite): the r2 "flash loses 2x" result was an artifact of
+    # the kernel's DEFAULT 128/128/128 block sizes (43.2 ms/call).
+    # Tuned blocks win decisively:
+    #   xla einsum               15.91 ms   (18.5 TFLOP/s)
+    #   flash q768 k1536 b2       9.96 ms   (29.6 TFLOP/s)  <- auto
+    #   splash kv1536             9.91 ms   (same; no advantage)
+    # CPU (tests) keeps the einsum path — the Pallas kernel doesn't
+    # lower there.
+    import jax as _jax
+
+    if _jax.devices()[0].platform in ("tpu", "axon"):
+        return "flash"
     return "xla"
 
 
@@ -66,17 +73,35 @@ def _xla_attention(q, k, v, mask=None):
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
+def _flash_blocks(tp: int, b: int):
+    """Tuned BlockSizes for the padded length ``tp`` / batch ``b``.
+
+    The r3 sweep (tools/bench_encoder_attn.py) found q768/k1536/b2
+    fastest at Whisper's T=1500→1536; blocks must divide the padded
+    sequence, so other lengths fall back to 512 blocks (the best
+    tp-divisor in the sweep family)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    bq = 768 if tp % 768 == 0 else min(512, tp)
+    bk = 1536 if tp % 1536 == 0 else min(512, tp)
+    bb = 2 if b % 2 == 0 else 1
+    return BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=bb)
+
+
 def _flash_attention(q, k, v):
     """Unmasked self-attention via the Pallas TPU kernel (pads the
-    sequence to a 512 multiple; pad keys are masked by segment ids)."""
+    sequence to a 512 multiple — 1536 when that makes the tuned 768/1536
+    blocks divide evenly; pad keys are masked by segment ids)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,
         flash_attention,
     )
 
     b, t, h, d = q.shape
-    block = 512
-    t_pad = -t % block
+    t_pad = -t % 512
+    if (t + t_pad) % 1536 and -t % 1536 <= 512:
+        t_pad = -t % 1536  # reach the fast 768/1536 block shape
+    tp = t + t_pad
     sm_scale = float(d) ** -0.5
 
     def to_bhsd(x):
@@ -95,6 +120,7 @@ def _flash_attention(q, k, v):
         segment_ids=SegmentIds(q=seg, kv=seg),
         causal=False,
         sm_scale=sm_scale,
+        block_sizes=_flash_blocks(tp, b),
     )
     return out.swapaxes(1, 2)[:, :t]
 
