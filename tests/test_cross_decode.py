@@ -348,3 +348,37 @@ def test_decode_step_matches_legacy_quantized_einsum():
     np.testing.assert_array_equal(a.argmax(-1), c.argmax(-1))
     span = np.abs(a).max()
     np.testing.assert_allclose(a, c, atol=0.02 * span)
+
+
+def test_nibble_unpack_impls_agree():
+    """The shift-free nibble unpack (AND + bf16 convert + exact
+    power-of-two scaling) must bit-match the int32-shift variant on
+    every packed byte value, and both must match unpack_int4."""
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.ops import cross_decode as cd
+
+    p = jnp.arange(-128, 128, dtype=jnp.int32).astype(jnp.int8)
+    p = p.reshape(2, 128)
+    saved = cd._NIBBLE_IMPL
+    try:
+        cd._NIBBLE_IMPL = "andf"
+        lo_a, hi_a = cd._unpack_nibbles_bf16(p)
+        cd._NIBBLE_IMPL = "i32"
+        lo_s, hi_s = cd._unpack_nibbles_bf16(p)
+    finally:
+        cd._NIBBLE_IMPL = saved
+    np.testing.assert_array_equal(
+        np.asarray(lo_a, np.float32), np.asarray(lo_s, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hi_a, np.float32), np.asarray(hi_s, np.float32)
+    )
+    # and against the public exact-integer unpack (axis-0 concat order)
+    ints = np.asarray(cd.unpack_int4(p, axis=0))
+    np.testing.assert_array_equal(
+        np.concatenate(
+            [np.asarray(lo_a, np.int32), np.asarray(hi_a, np.int32)]
+        ),
+        ints,
+    )

@@ -112,6 +112,46 @@ def quantize_cross_kv_decode(cross_kv_bf16_k, cross_kv_bf16_v, bits=8):
     }
 
 
+# int4 nibble-unpack implementation, swept by tools/bench_kernel_int4.py
+# on the v5e (medium.en decode shapes, 24L x 32B grid, ms/step):
+#   int8 (no unpack)      4.50   <- the speed default
+#   int4 "i32" unpack     4.98   (widen to i32, shift)
+#   int4 "andf" unpack    6.55   (AND + i8->bf16 convert + exact
+#                                 power-of-two muls; no shifts — Mosaic
+#                                 legalizes neither int8 shrsi nor bf16
+#                                 compares, so this was the only 8-bit
+#                                 formulation available, and the three
+#                                 converts per packed byte lose to one
+#                                 i32 widen)
+# The unpack is VPU-bound in every formulation: halving the DMA bytes
+# buys less than the per-element unpack costs, so int4 remains a MEMORY
+# lever (bits=4 halves residency), never a speed lever. Read at trace
+# time.
+_NIBBLE_IMPL = "i32"
+
+
+def _unpack_nibbles_bf16(p: jnp.ndarray):
+    """Packed int8 [R, Kp] -> (lo [R, Kp], hi [R, Kp]) sign-extended
+    4-bit values as EXACT bf16 (all magnitudes ≤ 16 are representable)."""
+    if _NIBBLE_IMPL == "andf":
+        hi = (
+            jax.lax.bitwise_and(p, jnp.int8(-16)).astype(jnp.bfloat16)
+            * jnp.bfloat16(0.0625)
+        )
+        u = jax.lax.bitwise_and(p, jnp.int8(0x0F)).astype(jnp.bfloat16)
+        # sign-extend without comparing (Mosaic: no bf16 compares):
+        # bit 3 set means the nibble is negative, i.e. subtract 16 —
+        # and (p & 8) is already 8 exactly when bit 3 is set
+        b3 = jax.lax.bitwise_and(p, jnp.int8(0x08)).astype(jnp.bfloat16)
+        lo = u - b3 * jnp.bfloat16(2)
+        return lo, hi
+    p = p.astype(jnp.int32)
+    return (
+        ((p << 28) >> 28).astype(jnp.bfloat16),
+        (p >> 4).astype(jnp.bfloat16),
+    )
+
+
 def _split_unpack_bf16(blk: jnp.ndarray, bits: int):
     """One head's fused block [2D, Kp] int8 (or [D, Kp] packed) ->
     (K [D, Kp], V^T [D, Kp]) in bf16. bits=4 rows expand along axis 0
@@ -121,10 +161,8 @@ def _split_unpack_bf16(blk: jnp.ndarray, bits: int):
     k_half, v_half = blk[:half], blk[half:]
     if bits == 4:
         def up(p):
-            p = p.astype(jnp.int32)
-            return jnp.concatenate(
-                [(p << 28) >> 28, p >> 4], axis=0
-            ).astype(jnp.bfloat16)
+            lo, hi = _unpack_nibbles_bf16(p)
+            return jnp.concatenate([lo, hi], axis=0)
         return up(k_half), up(v_half)
     return k_half.astype(jnp.bfloat16), v_half.astype(jnp.bfloat16)
 
