@@ -12,18 +12,30 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def _quantize_linear_jit(w: jnp.ndarray):
+    absmax = jnp.abs(w).max(axis=0)
+    scale = absmax / 127.0
+    scale_safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(w / scale_safe), -127, 127).astype(jnp.int8)
+    return q, scale_safe.astype(jnp.float32)
+
+
 def quantize_linear(w: np.ndarray) -> Dict[str, Any]:
-    """[in, out] float → int8 weights + per-out-channel f32 scales."""
-    w = np.asarray(w, np.float32)
-    absmax = np.abs(w).max(axis=0)
-    scale = (absmax / 127.0).astype(np.float32)
-    scale_safe = np.where(scale > 0, scale, 1.0)
-    q = np.clip(np.round(w / scale_safe), -127, 127).astype(np.int8)
-    return {"w_q": jnp.asarray(q), "scale": jnp.asarray(scale_safe)}
+    """[in, out] float → int8 weights + per-out-channel f32 scales.
+
+    The arithmetic runs on the accelerator: host-numpy quantization of
+    medium.en's ~750M weight elements costs minutes on this box's
+    single contended core (measured 13+ min during an r3 bench setup),
+    vs seconds of device math after the one-time f32 upload.
+    """
+    q, scale = _quantize_linear_jit(jnp.asarray(w, jnp.float32))
+    return {"w_q": q, "scale": scale}
 
 
 def _quantize_linear_dict(p: Dict[str, Any]) -> Dict[str, Any]:
