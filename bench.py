@@ -358,7 +358,10 @@ def run_serving_bench(engine, audio, audio_seconds, runs, log):
     )
     try:
         # warmup: the handler's fail-fast compile pass (handler.warmup)
+        # — every bucket shape, so the latency probe below measures the
+        # bucket-1 decode and the hour runs never compile inline
         t0 = time.time()
+        sched.warmup()
         sched.transcribe(np.zeros(16000, np.float32), "en")
         log(f"warmup (compiles) {time.time() - t0:.1f}s")
 

@@ -26,6 +26,36 @@ def test_quantize_linear_roundtrip_error():
     assert rel < 0.01  # int8 per-channel: <1% of the channel max
 
 
+def test_w8a8_linear_matches_f32():
+    """The int8-MXU encoder linear (dynamic per-row activation quant +
+    int8×int8 dot) stays within combined-quantization error of the f32
+    matmul."""
+    from whisper_nemo_tpu.models.whisper import _linear
+
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    b = rng.standard_normal((32,)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((4, 10, 64)), jnp.float32)
+    q = quantize_linear(w)
+    p = {"w_qm": q["w_q"], "scale": q["scale"], "b": jnp.asarray(b)}
+    got = np.asarray(_linear(p, x))
+    ref = np.asarray(x) @ w + b
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+    assert got.dtype == np.float32  # epilogue returns the input dtype
+
+
+def test_quantize_encoder_mxu_keys(tiny_model):
+    params, _ = tiny_model
+    qp = quantize_whisper_params(params)
+    enc_lin = qp["encoder"]["blocks"][0]["mlp_in"]
+    dec_lin = qp["decoder"]["blocks"][0]["mlp_in"]
+    assert "w_qm" in enc_lin and "w_q" not in enc_lin
+    assert "w_q" in dec_lin and "w_qm" not in dec_lin  # decode: DMA-bound
+    qp_off = quantize_whisper_params(params, encoder_mxu=False)
+    assert "w_q" in qp_off["encoder"]["blocks"][0]["mlp_in"]
+
+
 def test_quantize_zero_column_safe():
     w = np.zeros((8, 4), np.float32)
     q = quantize_linear(w)

@@ -70,6 +70,24 @@ def test_scheduler_concurrent_requests_share_batches(engine):
         sched.shutdown()
 
 
+def test_scheduler_buckets_and_warmup(engine):
+    sched = WindowScheduler(engine, batch_size=6, max_new_tokens=8)
+    try:
+        assert sched._buckets() == [1, 2, 4, 6]
+        assert sched._bucket_for(1) == 1
+        assert sched._bucket_for(3) == 4
+        assert sched._bucket_for(5) == 6
+        assert sched._bucket_for(6) == 6
+        sched.warmup()  # compiles every bucket; must not deadlock
+        audio = (
+            np.random.default_rng(3).standard_normal(16000) * 0.2
+        ).astype(np.float32)
+        segments = sched.transcribe(audio, "en")
+        assert len(segments) >= 1
+    finally:
+        sched.shutdown()
+
+
 def test_scheduler_error_propagates(engine):
     sched = WindowScheduler(engine, batch_size=2, max_new_tokens=8)
     try:

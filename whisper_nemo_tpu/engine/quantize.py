@@ -14,7 +14,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 
 @jax.jit
@@ -26,48 +26,74 @@ def _quantize_linear_jit(w: jnp.ndarray):
     return q, scale_safe.astype(jnp.float32)
 
 
-def quantize_linear(w: np.ndarray) -> Dict[str, Any]:
+def quantize_linear(w) -> Dict[str, Any]:
     """[in, out] float → int8 weights + per-out-channel f32 scales.
 
     The arithmetic runs on the accelerator: host-numpy quantization of
     medium.en's ~750M weight elements costs minutes on this box's
     single contended core (measured 13+ min during an r3 bench setup),
-    vs seconds of device math after the one-time f32 upload.
+    vs seconds of device math after the one-time f32 upload. Device
+    arrays convert in place — no host round-trip.
     """
     q, scale = _quantize_linear_jit(jnp.asarray(w, jnp.float32))
     return {"w_q": q, "scale": scale}
 
 
-def _quantize_linear_dict(p: Dict[str, Any]) -> Dict[str, Any]:
-    out = quantize_linear(np.asarray(p["w"]))
+def _quantize_linear_dict(p: Dict[str, Any], mxu: bool = False) -> Dict[str, Any]:
+    out = quantize_linear(p["w"])
+    if mxu:
+        # key rename routes models/whisper.py:_linear onto the
+        # int8×int8 MXU dot (w8a8) instead of the dequant-then-bf16 dot
+        out = {"w_qm": out.pop("w_q"), "scale": out["scale"]}
     if "b" in p:
         out["b"] = p["b"]
     return out
 
 
-def _quantize_block(block: Dict[str, Any]) -> Dict[str, Any]:
+def _quantize_block(block: Dict[str, Any], mxu: bool = False) -> Dict[str, Any]:
     out = dict(block)
     for attn_key in ("attn", "cross_attn"):
         if attn_key in block:
             out[attn_key] = {
-                k: _quantize_linear_dict(v)
+                k: _quantize_linear_dict(v, mxu)
                 for k, v in block[attn_key].items()
             }
     for mlp_key in ("mlp_in", "mlp_out"):
         if mlp_key in block:
-            out[mlp_key] = _quantize_linear_dict(block[mlp_key])
+            out[mlp_key] = _quantize_linear_dict(block[mlp_key], mxu)
     return out
 
 
-def quantize_whisper_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_whisper_params(
+    params: Dict[str, Any], encoder_mxu: bool = None
+) -> Dict[str, Any]:
     """int8-quantize every transformer linear plus the vocabulary output
     projection (stored separately; the token-embedding gather stays
-    dense)."""
+    dense).
+
+    ``encoder_mxu`` routes the encoder's linears through the int8×int8
+    MXU dot with dynamic per-row activation quantization — the compute
+    CTranslate2's int8 GEMMs actually run (reference diarize.py:36
+    ``mtypes``). The decoder keeps weight-only dequant: its loop is at
+    the cross-KV DMA floor (docs/ROADMAP.md), so per-step activation
+    quantization would add VPU work for no bandwidth win.
+
+    Default (``encoder_mxu=None``) reads ``WNT_INT8_ENCODER_MXU``
+    (on unless set to "0") so deployments can fall back to the
+    dequant path without a code change.
+    """
+    if encoder_mxu is None:
+        import os
+
+        encoder_mxu = os.environ.get("WNT_INT8_ENCODER_MXU", "1") != "0"
     enc = dict(params["encoder"])
-    enc["blocks"] = [_quantize_block(b) for b in params["encoder"]["blocks"]]
+    enc["blocks"] = [
+        _quantize_block(b, mxu=encoder_mxu)
+        for b in params["encoder"]["blocks"]
+    ]
     dec = dict(params["decoder"])
     dec["blocks"] = [_quantize_block(b) for b in params["decoder"]["blocks"]]
-    # output projection: tok_emb.T as int8 [D, V]
-    tok = np.asarray(params["decoder"]["tok_emb"], np.float32)
+    # output projection: tok_emb.T as int8 [D, V] (transpose on device)
+    tok = jnp.asarray(params["decoder"]["tok_emb"], jnp.float32)
     dec["out_proj_q"] = quantize_linear(tok.T)
     return {"encoder": enc, "decoder": dec}

@@ -174,8 +174,30 @@ def _layer_norm(p, x, eps=1e-5):
     return (out * p["g"] + p["b"]).astype(x.dtype)
 
 
+def _w8a8_dot(x, w_q, w_scale):
+    """Dynamic per-row activation quant + int8×int8 MXU dot.
+
+    The int8 analogue CTranslate2 actually computes (its int8 GEMMs
+    quantize activations per row at runtime); on the v5e the MXU's int8
+    throughput is 2× bf16, so this is the compute-bound encoder's
+    fastest linear. Weights per-output-channel int8, activations
+    per-row symmetric int8, dequant in the fp32 epilogue."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s_x = jnp.maximum(amax / 127.0, 1e-8)
+    x_q = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * s_x * w_scale
+
+
 def _linear(p, x):
-    if "w_q" in p:
+    if "w_qm" in p:
+        # int8 MXU path (encoder): both operands int8 on the systolic array
+        y = _w8a8_dot(x, p["w_qm"], p["scale"])
+    elif "w_q" in p:
         # weight-only int8: dequantization fuses into the matmul epilogue
         y = jnp.dot(
             x, p["w_q"].astype(x.dtype), preferred_element_type=jnp.float32

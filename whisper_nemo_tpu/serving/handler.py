@@ -89,15 +89,17 @@ def load_models(warm: bool = True) -> None:
 
 def warmup() -> None:
     """Compile the serving decode path and prime the device transfer
-    channel before the first request: one dummy window through the
-    scheduler (full encode + timestamped decode at the serving batch
-    shape). Raises on failure — the fail-fast contract of the
-    reference's import-time GPU check (main.py:33-38)."""
+    channel before the first request: one dummy batch per bucket shape
+    through the scheduler (full encode + timestamped decode), so no
+    request ever pays an inline XLA compile. Raises on failure — the
+    fail-fast contract of the reference's import-time GPU check
+    (main.py:33-38)."""
     import time
 
     import numpy as np
 
     t0 = time.time()
+    window_scheduler.warmup()
     window_scheduler.transcribe(np.zeros(16000, np.float32), "en")
     logger.info("warmup done in %.1fs", time.time() - t0)
 
