@@ -157,14 +157,26 @@ def main() -> None:
         "medium.en", compute_type=args.compute_type, kv_bits=args.kv_bits
     )
 
+    # single-mode runs unload on exit so one long-lived process can
+    # measure several modes back-to-back (tools/bench_session.py)
+    # without accumulating ~1-2 GB of dead weights per mode in HBM
     if args.mode == "sequential":
-        run_sequential_bench(engine, audio, audio_seconds, args.runs, log)
+        try:
+            run_sequential_bench(engine, audio, audio_seconds, args.runs, log)
+        finally:
+            engine.unload()
         return
     if args.mode == "serving":
-        run_serving_bench(engine, audio, audio_seconds, args.runs, log)
+        try:
+            run_serving_bench(engine, audio, audio_seconds, args.runs, log)
+        finally:
+            engine.unload()
         return
     if args.mode == "streaming":
-        run_streaming_bench(engine, audio, log)
+        try:
+            run_streaming_bench(engine, audio, log)
+        finally:
+            engine.unload()
         return
 
     from whisper_nemo_tpu.align import load_alignment_model
@@ -295,6 +307,7 @@ def main() -> None:
         ),
         file=sys.stderr,
     )
+    engine.unload()
 
 
 def run_sequential_bench(engine, audio, audio_seconds, runs, log):

@@ -47,13 +47,19 @@ def test_w8a8_linear_matches_f32():
 
 def test_quantize_encoder_mxu_keys(tiny_model):
     params, _ = tiny_model
-    qp = quantize_whisper_params(params)
+    qp = quantize_whisper_params(params, encoder_mxu=True)
     enc_lin = qp["encoder"]["blocks"][0]["mlp_in"]
-    dec_lin = qp["decoder"]["blocks"][0]["mlp_in"]
+    dec_blk = qp["decoder"]["blocks"][0]
     assert "w_qm" in enc_lin and "w_q" not in enc_lin
-    assert "w_q" in dec_lin and "w_qm" not in dec_lin  # decode: DMA-bound
+    # the step loop stays weight-only dequant (DMA-bound)...
+    assert "w_q" in dec_blk["mlp_in"]
+    assert "w_q" in dec_blk["cross_attn"]["q"]
+    # ...but the per-window cross-KV prefill (compute-bound) rides MXU
+    assert "w_qm" in dec_blk["cross_attn"]["k"]
+    assert "w_qm" in dec_blk["cross_attn"]["v"]
     qp_off = quantize_whisper_params(params, encoder_mxu=False)
     assert "w_q" in qp_off["encoder"]["blocks"][0]["mlp_in"]
+    assert "w_q" in qp_off["decoder"]["blocks"][0]["cross_attn"]["k"]
 
 
 def test_quantize_zero_column_safe():

@@ -81,13 +81,16 @@ def bench_full_encoder(batch, iters):
     flops = batch * (conv + dims.n_audio_layer * (24 * t * d * d + 4 * t * t * d))
     print(f"full encoder medium.en B{batch}  {flops / 1e12:.2f} TFLOP/call",
           file=sys.stderr)
+    # params must be jit ARGUMENTS: closing over them bakes ~GB of
+    # constants into the HLO, which the axon remote-compile endpoint
+    # rejects with HTTP 413
+    fn = jax.jit(lambda p, mel: encode(p, mel, dims, dtype=jnp.bfloat16))
     for name, p in variants.items():
-        fn = jax.jit(lambda mel, p=p: encode(p, mel, dims, dtype=jnp.bfloat16))
-        out = fn(mel)
+        out = fn(p, mel)
         np.asarray(out[0, 0, 0])
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(mel)
+            out = fn(p, mel)
         np.asarray(out[0, 0, 0])
         dt = (time.perf_counter() - t0) / iters
         print(f"  {name:14s} {dt * 1e3:8.1f} ms  "

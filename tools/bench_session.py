@@ -31,6 +31,30 @@ def _run_mode(argv):
     bench.main()
 
 
+def _release_device_memory():
+    """Free HBM between steps. The engines/aligner/diarizer trees hold
+    reference cycles, so their multi-GB device buffers otherwise wait
+    for a gen-2 GC that may never run inside one long process — the
+    first session OOM'd (RESOURCE_EXHAUSTED on a scalar transfer) by
+    step 5."""
+    import gc
+
+    from whisper_nemo_tpu.audio.devcache import clear_cache
+
+    clear_cache()
+    gc.collect()
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            used = stats.get("bytes_in_use", 0) / 1e9
+            print(f"[session] HBM in use after gc: {used:.2f} GB",
+                  file=sys.stderr, flush=True)
+    except Exception:
+        pass
+
+
 def smoke():
     """Real-chip smokes of the non-default decode paths at tiny dims
     (verify skill: CPU tests don't execute the Pallas kernel) plus the
@@ -100,6 +124,7 @@ def main():
             traceback.print_exc()
             print(f"===== step {name} FAILED =====", file=sys.stderr,
                   flush=True)
+        _release_device_memory()
         print(f"===== step {name} done in {time.time() - t0:.0f}s =====",
               file=sys.stderr, flush=True)
 

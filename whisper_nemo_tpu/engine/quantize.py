@@ -50,12 +50,21 @@ def _quantize_linear_dict(p: Dict[str, Any], mxu: bool = False) -> Dict[str, Any
     return out
 
 
-def _quantize_block(block: Dict[str, Any], mxu: bool = False) -> Dict[str, Any]:
+def _quantize_block(
+    block: Dict[str, Any], mxu: bool = False, mxu_pairs: tuple = ()
+) -> Dict[str, Any]:
+    """``mxu`` marks every linear for the int8-MXU path; ``mxu_pairs``
+    marks selected (attn_key, proj) pairs only — e.g. the decoder's
+    cross-attention k/v, which run once per window at prefill (a
+    compute-bound [B·1500, D] GEMM) and never inside the DMA-bound
+    step loop."""
     out = dict(block)
     for attn_key in ("attn", "cross_attn"):
         if attn_key in block:
             out[attn_key] = {
-                k: _quantize_linear_dict(v, mxu)
+                k: _quantize_linear_dict(
+                    v, mxu or (attn_key, k) in mxu_pairs
+                )
                 for k, v in block[attn_key].items()
             }
     for mlp_key in ("mlp_in", "mlp_out"):
@@ -92,7 +101,14 @@ def quantize_whisper_params(
         for b in params["encoder"]["blocks"]
     ]
     dec = dict(params["decoder"])
-    dec["blocks"] = [_quantize_block(b) for b in params["decoder"]["blocks"]]
+    # cross k/v linears only run at per-window prefill (compute-bound),
+    # so they ride the MXU path with the encoder; everything the step
+    # loop touches stays weight-only dequant
+    dec_pairs = (("cross_attn", "k"), ("cross_attn", "v")) if encoder_mxu else ()
+    dec["blocks"] = [
+        _quantize_block(b, mxu_pairs=dec_pairs)
+        for b in params["decoder"]["blocks"]
+    ]
     # output projection: tok_emb.T as int8 [D, V] (transpose on device)
     tok = jnp.asarray(params["decoder"]["tok_emb"], jnp.float32)
     dec["out_proj_q"] = quantize_linear(tok.T)

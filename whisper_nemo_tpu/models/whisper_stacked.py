@@ -56,7 +56,24 @@ def cross_attention_kv_stacked(
     hd = dims.n_text_state // h
 
     def proj(p):
-        if "w_q" in p:  # int8 weight-quantized linears
+        if "w_qm" in p:
+            # int8×int8 MXU einsum: activations quantized per (b, t)
+            # row at runtime (models.whisper._w8a8_dot, batched over
+            # the stacked layer axis)
+            x32 = audio.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+            s_x = jnp.maximum(amax / 127.0, 1e-8)
+            x_q = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+            y = jnp.einsum(
+                "btd,lde->lbte", x_q, p["w_qm"],
+                preferred_element_type=jnp.int32,
+            )
+            y = (
+                y.astype(jnp.float32)
+                * s_x[None]
+                * p["scale"][:, None, None, :]
+            ).astype(audio.dtype)
+        elif "w_q" in p:  # int8 weight-quantized linears
             y = jnp.einsum(
                 "btd,lde->lbte", audio, p["w_q"].astype(audio.dtype),
                 preferred_element_type=jnp.float32,
