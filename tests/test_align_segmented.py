@@ -92,6 +92,47 @@ def test_align_segments_end_to_end(monkeypatch):
     assert all(w["score"] > 0.5 for w in words)
 
 
+def test_align_segments_chunked_matches_unchunked(monkeypatch):
+    """A tiny _GROUP_BYTES_BUDGET forces one-row chunks (with pow-2 row
+    padding); results must be identical to the unchunked dispatch —
+    the 4 h bench OOM fix must not change any timestamp."""
+    tok = AlignmentTokenizer()
+    V = len(tok.vocab) - 1
+    stride = 20.0
+    T = 1500
+    rng = np.random.default_rng(7)
+    em = np.log(1e-4) * np.ones((T, V), np.float32)
+    em[:, tok.blank_id] = np.log(0.9)
+    words_plan = [(100 + 180 * i, "hey") for i in range(6)]
+    for s, word in words_plan:
+        for j, c in enumerate(word):
+            f = s + j * 8
+            em[f : f + 8, :] = np.log(1e-4)
+            em[f : f + 8, tok.vocab[c]] = np.log(0.9)
+
+    import whisper_nemo_tpu.align.segmented as seg_mod
+
+    monkeypatch.setattr(
+        seg_mod,
+        "generate_emissions",
+        lambda m, a, b, device=False: (em, stride),
+    )
+    segments = [
+        {"start": max(0.0, (s - 20) * stride / 1000),
+         "end": (s + 40) * stride / 1000, "text": "hey"}
+        for s, _ in words_plan
+    ]
+    audio = np.zeros(int(T * stride / 1000 * 16000), np.float32)
+
+    base = align_segments(None, tok, audio, segments)
+    monkeypatch.setattr(seg_mod, "_GROUP_BYTES_BUDGET", 1.0)
+    chunked = align_segments(None, tok, audio, segments)
+
+    assert len(base) == len(chunked) == 6
+    for a, b in zip(base, chunked):
+        assert a == b
+
+
 def test_device_blocks_match_prepare_item():
     """_viterbi_group_device's on-device block assembly must reproduce
     _prepare_item's layout exactly, and its returned per-frame scores

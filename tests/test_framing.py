@@ -49,6 +49,64 @@ def test_frame_signal_batched():
         )
 
 
+@pytest.mark.parametrize(
+    "win,hop", [(400, 160), (640, 320), (640, 160), (500, 160), (512, 512)]
+)
+def test_frame_energy_matches_frame_signal(win, hop):
+    """The block-sum energy (no frame matrix — the 4 h OOM fix) must
+    equal mean(square(frame_signal)) for every (win, hop) in use,
+    including non-multiple remainders (500/160)."""
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.ops.framing import frame_energy, frame_signal
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(16000).astype(np.float32)
+    n_frames = 1 + (len(x) - win) // hop
+    ref = np.asarray(
+        jnp.mean(
+            jnp.square(frame_signal(jnp.asarray(x), n_frames, win, hop)),
+            axis=-1,
+        )
+    )
+    got = np.asarray(frame_energy(jnp.asarray(x), n_frames, win, hop))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_frame_energy_batched_and_padded():
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.ops.framing import frame_energy, frame_signal
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 4321)).astype(np.float32)  # forces padding
+    n_frames = 1 + (x.shape[1] - 400) // 160
+    ref = np.asarray(
+        jnp.mean(
+            jnp.square(frame_signal(jnp.asarray(x), n_frames, 400, 160)),
+            axis=-1,
+        )
+    )
+    got = np.asarray(frame_energy(jnp.asarray(x), n_frames, 400, 160))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_log_mel_features_chunked_matches_single(monkeypatch):
+    """Chunked feature computation (the 4 h OOM fix) is numerically
+    identical to the single-call path, including the global
+    normalization."""
+    import jax.numpy as jnp
+
+    from whisper_nemo_tpu.ops import features as F
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(16000 * 5).astype(np.float32)
+    base = np.asarray(F.log_mel_features(jnp.asarray(x), n_mels=64))
+    monkeypatch.setattr(F, "_CHUNK_FRAMES", 100)
+    chunked = np.asarray(F.log_mel_features(jnp.asarray(x), n_mels=64))
+    np.testing.assert_allclose(chunked, base, rtol=1e-6, atol=1e-6)
+
+
 def test_log_mel_features_unchanged_by_framing():
     """features.py output after the framing swap equals the direct
     gather formulation (same DFT constants, same normalization)."""

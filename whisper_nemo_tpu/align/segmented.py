@@ -33,12 +33,27 @@ from .text import preprocess_text
 _T_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
 _L_BUCKETS = (32, 64, 128, 256, 512, 1024)
 
+# HBM budget per dispatched Viterbi group: the batched trellis holds
+# e_states (f32) + backpointers (int8) at [rows, t_b + l_b, 2*l_b + 1]
+# — ~13 MB/row at the (2048, 512) bucket — so an unchunked 4 h
+# workload (576 × 25 s segments in ONE group) asks for ~7.6 GB of
+# trellis on top of the resident models and died RESOURCE_EXHAUSTED
+# (first exposed by bench.py --seconds 14400). Groups larger than the
+# budget dispatch in power-of-two-padded chunks (bounded compile
+# count; padded rows are repeats whose outputs are never read). The
+# 12-byte/element estimate leaves ~2x headroom for fusion temporaries.
+_GROUP_BYTES_BUDGET = 2.0e9
+
 
 def _bucket(value: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if value <= b:
             return b
     return buckets[-1]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
 
 
 @jax.jit
@@ -247,16 +262,36 @@ def align_segments(
             sl, sk = _trellis_arrays(labels_ext, tokenizer.blank_id)
             slabels.append(sl)
             skips.append(sk)
-        paths_dev, scores_dev = _viterbi_group_device(
-            em_pad,
-            jnp.asarray(np.asarray(t0s, np.int32)),
-            jnp.asarray(np.asarray(t_effs, np.int32)),
-            jnp.asarray(np.stack(slabels)),
-            jnp.asarray(np.stack(skips)),
-            t_b=t_b,
-            l_b=l_b,
-        )
-        dispatched.append(((t_b, l_b), idxs, paths_dev, scores_dev))
+        t0s = np.asarray(t0s, np.int32)
+        t_effs = np.asarray(t_effs, np.int32)
+        slabels = np.stack(slabels)
+        skips = np.stack(skips)
+
+        row_bytes = 12.0 * (t_b + l_b) * (2 * l_b + 1)
+        rows_cap = max(1, int(_GROUP_BYTES_BUDGET / row_bytes))
+        for c0 in range(0, len(idxs), rows_cap):
+            c1 = min(c0 + rows_cap, len(idxs))
+            rows_b = min(rows_cap, _next_pow2(c1 - c0))
+            pad = rows_b - (c1 - c0)
+
+            def chunk(arr):
+                a = arr[c0:c1]
+                if pad:
+                    a = np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+                return jnp.asarray(a)
+
+            paths_dev, scores_dev = _viterbi_group_device(
+                em_pad,
+                chunk(t0s),
+                chunk(t_effs),
+                chunk(slabels),
+                chunk(skips),
+                t_b=t_b,
+                l_b=l_b,
+            )
+            dispatched.append(
+                ((t_b, l_b), idxs[c0:c1], paths_dev, scores_dev)
+            )
 
     results: List[dict] = []
     for (t_b, l_b), idxs, paths_dev, scores_dev in dispatched:

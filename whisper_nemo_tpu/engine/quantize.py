@@ -87,14 +87,20 @@ def quantize_whisper_params(
     the cross-KV DMA floor (docs/ROADMAP.md), so per-step activation
     quantization would add VPU work for no bandwidth win.
 
-    Default (``encoder_mxu=None``) reads ``WNT_INT8_ENCODER_MXU``
-    (on unless set to "0") so deployments can fall back to the
-    dequant path without a code change.
+    Default (``encoder_mxu=None``) reads ``WNT_INT8_ENCODER_MXU``,
+    default OFF: measured on the v5 lite chip (tools/bench_encoder_int8
+    --full, B32 medium.en), the full-encoder forward runs 480.5 ms
+    w8a8 vs 451.9 ms weight-only dequant vs 457.6 ms bf16 — the
+    encoder already sits at ~40% MFU and the per-linear activation
+    quantization (an f32 VPU pass over [B, 1500, D] per GEMM) costs
+    more than the int8 MXU dot saves, even though the isolated
+    [12000,1024]x[1024,4096] GEMM measures 17% faster w8a8. Kept for
+    hardware generations where the int8:bf16 MXU ratio is larger.
     """
     if encoder_mxu is None:
         import os
 
-        encoder_mxu = os.environ.get("WNT_INT8_ENCODER_MXU", "1") != "0"
+        encoder_mxu = os.environ.get("WNT_INT8_ENCODER_MXU", "0") == "1"
     enc = dict(params["encoder"])
     enc["blocks"] = [
         _quantize_block(b, mxu=encoder_mxu)

@@ -23,16 +23,13 @@ SAMPLE_RATE = 16000
 @functools.lru_cache(maxsize=1)
 def _energies_jit():
     import jax
-    import jax.numpy as jnp
 
-    from ..ops.framing import frame_signal
+    from ..ops.framing import frame_energy
 
-    @functools.partial(jax.jit, static_argnums=(1, 2, 3))
-    def energies(wave, n, w, h):
-        frames = frame_signal(wave, n, w, h)
-        return jnp.mean(jnp.square(frames), axis=-1)
-
-    return energies
+    # frame_energy, not frame_signal+mean: the materialized frame
+    # matrix OOM'd at 4 h (3.7 GB + shifted-reshape temps); block sums
+    # need O(T/hop) memory
+    return jax.jit(frame_energy, static_argnums=(1, 2, 3))
 
 
 def _frame_energies_device(audio, n_frames: int, win: int, hop: int):
