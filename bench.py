@@ -115,7 +115,8 @@ def main() -> None:
         "quantized linears — the reference's per-device reduced-"
         "precision mtypes choice (diarize.py:36: int8 on CPU, fp16 on "
         "CUDA) mapped to this chip, and the fastest measured config "
-        "(240.3x vs ~233x bf16 at the hour workload)",
+        "(decode 8.63 -> 8.14 ms/step; asr 5.8 -> 5.6 s at the hour "
+        "workload vs bf16)",
     )
     ap.add_argument(
         "--kv-bits", type=int, default=8, choices=[4, 8],

@@ -79,8 +79,10 @@ def test_frame_energy_batched_and_padded():
     from whisper_nemo_tpu.ops.framing import frame_energy, frame_signal
 
     rng = np.random.default_rng(5)
-    x = rng.standard_normal((2, 4321)).astype(np.float32)  # forces padding
-    n_frames = 1 + (x.shape[1] - 400) // 160
+    # 4319 < need=4320 for 25 frames at 400/160: exercises the zero-pad
+    # branch (4321 would satisfy `need` and skip it)
+    x = rng.standard_normal((2, 4319)).astype(np.float32)
+    n_frames = 1 + (4321 - 400) // 160
     ref = np.asarray(
         jnp.mean(
             jnp.square(frame_signal(jnp.asarray(x), n_frames, 400, 160)),
