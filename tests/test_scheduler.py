@@ -88,6 +88,23 @@ def test_scheduler_buckets_and_warmup(engine):
         sched.shutdown()
 
 
+def test_scheduler_bucket_list_override(engine, monkeypatch):
+    # explicit list: single bucket recovers full-batch padding
+    sched = WindowScheduler(engine, batch_size=6, bucket_sizes=[6])
+    try:
+        assert sched._buckets() == [6]
+        assert sched._bucket_for(1) == 6
+    finally:
+        sched.shutdown()
+    # env override, clamped to batch_size, batch_size appended
+    monkeypatch.setenv("WNT_SERVING_BUCKETS", "2,99")
+    sched = WindowScheduler(engine, batch_size=6)
+    try:
+        assert sched._buckets() == [2, 6]
+    finally:
+        sched.shutdown()
+
+
 def test_scheduler_error_propagates(engine):
     sched = WindowScheduler(engine, batch_size=2, max_new_tokens=8)
     try:

@@ -322,13 +322,21 @@ def _kmeans(
     iteration* at the long-form chunk size (10k × 960-d, k=50), which
     pinned the 4 h bench's diarize stage on the 1-core host for tens
     of minutes. Seeding updates the min-distance incrementally (one
-    O(n·d) GEMV per added center). Large chunks run the Lloyd
-    iterations on the accelerator (`_lloyd_device`)."""
+    O(n·d) GEMV per added center). Large chunks run seeding AND Lloyd
+    on the accelerator (`_kmeans_device`)."""
     rng = np.random.default_rng(seed)
     n = len(points)
     if k >= n:
         return np.arange(n)
     pts = np.ascontiguousarray(points, np.float32)
+
+    if n * pts.shape[1] >= 2_000_000:
+        # long-form chunks: seeding AND Lloyd on device in one program
+        # (50 sequential host GEMVs over a 38 MB matrix cost ~2-4 s per
+        # chunk on the contended 1-core host; the Gumbel-max pick
+        # samples ∝ d² exactly like k-means++)
+        return _kmeans_device(pts, k, seed, iters)
+
     x2 = np.einsum("nd,nd->n", pts, pts)
     centers = np.empty((k, pts.shape[1]), np.float32)
     c = pts[rng.integers(n)]
@@ -345,9 +353,6 @@ def _kmeans(
             d2, np.maximum(x2 + float(c @ c) - 2.0 * (pts @ c), 0.0)
         )
 
-    if n * pts.shape[1] >= 2_000_000:
-        return _lloyd_device(pts, centers, iters)
-
     labels = np.zeros(n, np.int32)
     for _ in range(iters):
         c2 = np.einsum("kd,kd->k", centers, centers)
@@ -363,9 +368,30 @@ def _kmeans(
     return labels
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
-def _lloyd_jit(p, c0, n_iters):
+@partial(jax.jit, static_argnames=("k", "n_iters"))
+def _kmeans_device_jit(p, seed, k, n_iters):
+    """k-means++ seeding + Lloyd, entirely on device.
+
+    The ∝d² sampling uses the Gumbel-max trick (argmax of
+    log d² + Gumbel noise is an exact categorical draw), so no
+    per-center host round-trip; the first center is a uniform draw
+    (zero logits). Numerically the same algorithm as the host path,
+    with the jax PRNG stream instead of numpy's."""
     x2 = jnp.einsum("nd,nd->n", p, p)
+    keys = jax.random.split(jax.random.PRNGKey(seed), k)
+
+    def seed_step(carry, key_i):
+        d2, first = carry
+        logits = jnp.where(first, 0.0, jnp.log(jnp.maximum(d2, 1e-30)))
+        idx = jnp.argmax(logits + jax.random.gumbel(key_i, logits.shape))
+        c = p[idx]
+        dc = jnp.maximum(x2 + jnp.dot(c, c) - 2.0 * (p @ c), 0.0)
+        d2 = jnp.where(first, dc, jnp.minimum(d2, dc))
+        return (d2, jnp.zeros((), bool)), c
+
+    (_, _), centers = jax.lax.scan(
+        seed_step, (jnp.ones_like(x2), jnp.ones((), bool)), keys
+    )
 
     def assign(c):
         c2 = jnp.einsum("kd,kd->k", c, c)
@@ -380,19 +406,57 @@ def _lloyd_jit(p, c0, n_iters):
         new_c = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), c)
         return new_c, None
 
-    c, _ = jax.lax.scan(step, c0, None, length=n_iters)
-    return assign(c)
+    c, _ = jax.lax.scan(step, centers, None, length=n_iters)
+    labels = assign(c)
+    # exact means of the FINAL assignment (what longform_cluster
+    # reclusters); empty clusters fall back to the global mean, like
+    # the host path's chunk.mean(axis=0)
+    onehot = jax.nn.one_hot(labels, k, dtype=p.dtype)
+    sums = onehot.T @ p
+    counts = onehot.sum(axis=0)[:, None]
+    means = jnp.where(
+        counts > 0, sums / jnp.maximum(counts, 1.0), p.mean(axis=0)[None]
+    )
+    return labels, means
 
 
-def _lloyd_device(
-    pts: np.ndarray, centers: np.ndarray, iters: int
-) -> np.ndarray:
-    """Fixed-iteration Lloyd refinement on the accelerator (one scan;
-    ~1 GFLOP/iteration at the 10k×960×50 chunk shape — sub-second on
-    the chip vs tens of host-core seconds)."""
-    return np.asarray(
-        _lloyd_jit(jnp.asarray(pts), jnp.asarray(centers), iters)
-    ).astype(np.int32)
+def _kmeans_device(pts, k: int, seed: int, iters: int) -> np.ndarray:
+    labels, _ = _kmeans_device_jit(jnp.asarray(pts), seed, k, iters)
+    return np.asarray(labels).astype(np.int32)
+
+
+def _overcluster_chunk(chunk, k: int, seed: int, iters: int = 50):
+    """(labels [n], means [k, d]) for one long-form chunk.
+
+    Device arrays and large host chunks run fully on the accelerator —
+    including the final-assignment means, whose host computation
+    (k boolean-mask reductions over a 38 MB chunk) was several seconds
+    per chunk on the 1-core box. Small host chunks keep the numpy
+    path (same numerics as always)."""
+    n = chunk.shape[0]
+    if k >= n:
+        return np.arange(n), np.asarray(chunk, np.float32)
+    on_device = not isinstance(chunk, np.ndarray)
+    if on_device or n * chunk.shape[1] >= 2_000_000:
+        labels_d, means_d = _kmeans_device_jit(
+            jnp.asarray(chunk, jnp.float32), seed, k, iters
+        )
+        return (
+            np.asarray(labels_d).astype(np.int64),
+            np.asarray(means_d, np.float32),
+        )
+    labels = _kmeans(chunk, k, seed=seed, iters=iters)
+    means = np.stack(
+        [
+            chunk[labels == j].mean(axis=0)
+            if (labels == j).any()
+            else chunk.mean(axis=0)
+            for j in range(k)
+        ]
+    )
+    return labels, means
+
+
 
 
 def spectral_cluster(
@@ -543,7 +607,7 @@ def nme_spectral_clustering(
         and embeddings is not None
         and 0 < n < enhanced_count_thres
     ):
-        est = enhanced_speaker_count(embeddings)
+        est = enhanced_speaker_count(np.asarray(embeddings))
     n_spk = num_speakers if num_speakers is not None else est
     n_spk = int(np.clip(n_spk, min_num_speakers, max_num_speakers))
     if on_device:
@@ -563,7 +627,7 @@ def longform_cluster(
     """Long-form path: over-cluster each chunk, recluster the cluster
     means, propagate labels (reference telephonic.yaml:55-56 contract).
     """
-    n = len(embeddings)
+    n = embeddings.shape[0]
     if n <= embeddings_per_chunk:
         return nme_spectral_clustering(
             embeddings,
@@ -579,18 +643,12 @@ def longform_cluster(
     offset = 0
     for start in range(0, n, embeddings_per_chunk):
         chunk = embeddings[start : start + embeddings_per_chunk]
-        k = min(chunk_cluster_count, len(chunk))
-        labels = _kmeans(chunk, k, seed=start)
-        chunk_labels[start : start + len(chunk)] = labels + offset
-        for j in range(k):
-            mask = labels == j
-            means.append(
-                chunk[mask].mean(axis=0)
-                if mask.any()
-                else chunk.mean(axis=0)
-            )
+        k = min(chunk_cluster_count, chunk.shape[0])
+        labels, chunk_means = _overcluster_chunk(chunk, k, seed=start)
+        chunk_labels[start : start + chunk.shape[0]] = labels + offset
+        means.append(chunk_means)
         offset += k
-    means = np.stack(means)
+    means = np.concatenate(means, axis=0)
     meta_labels = nme_spectral_clustering(
         means,
         num_speakers=num_speakers,

@@ -397,7 +397,11 @@ class NeuralDiarizer:
             )
             for b in range(0, len(starts), batch_size)
         ]
-        return np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
+        # stays device-resident: the scale→base mapping gather, the
+        # multiscale affinity, and the long-form over-clustering all
+        # consume these on device (hauling ~24 MB/scale to the host and
+        # back cost ~13 s of the 4 h diarize stage on the 1-core box)
+        return jnp.concatenate(outs, axis=0)[:n]
 
     def diarize_waveform(
         self,
@@ -444,14 +448,17 @@ class NeuralDiarizer:
         weights = weights / weights.sum()
         n_base = len(base_segments)
         cl = d.clustering.parameters
+        # scale→base row gather on device (host fancy-indexing of
+        # [n_base, D] per scale measured ~8 s at 4 h)
         mapped_embs = [
-            scale_embs[si][mapping[si]] for si in range(len(scales))
+            jnp.take(scale_embs[si], jnp.asarray(mapping[si]), axis=0)
+            for si in range(len(scales))
         ]
         affinity = None
         if len(scales) > 1 and n_base <= cl.embeddings_per_chunk:
             # the chunked long-form path re-derives per-chunk
             # affinities from embeddings, so don't build one it ignores
-            stacked = np.stack(mapped_embs)
+            stacked = jnp.stack(mapped_embs)
             if debug:
                 marks.append(("aff_stack", _time.time()))
             affinity = multiscale_affinity(stacked, weights)
@@ -463,7 +470,7 @@ class NeuralDiarizer:
             None if not cl.oracle_num_speakers else num_speakers
         )
         labels = longform_cluster(
-            np.concatenate(mapped_embs, axis=1),
+            jnp.concatenate(mapped_embs, axis=1),
             num_speakers=oracle,
             max_num_speakers=min(
                 cl.max_num_speakers,
@@ -491,7 +498,10 @@ class NeuralDiarizer:
 
         if self.msdd_params is not None:
             m = d.msdd_model.parameters
-            seg_embs = np.stack(mapped_embs)  # [S, n_base, D]
+            # one device→host transfer for the MSDD windows (the MSDD
+            # forward re-uploads per window batch; keeping its input
+            # contract np preserves the existing windowing code)
+            seg_embs = np.asarray(jnp.stack(mapped_embs))  # [S, n_base, D]
             base_w = emb_cfg.window_length_in_sec[-1]
             # the full list-valued sigmoid_threshold is swept (reference
             # telephonic.yaml:60-66 allows multiple); the first entry is
