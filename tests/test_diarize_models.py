@@ -104,6 +104,64 @@ def test_msdd_infer_contract():
     assert activity.any(axis=1).all()
 
 
+def test_msdd_mean_sigmoids_match_windowed_loop():
+    """The single-dispatch vectorized window pass must equal a naive
+    per-window loop (fresh LSTM state per window, remainder window at
+    its exact length) — including a bidirectional param tree, whose
+    reverse LSTM is what exact remainder handling protects."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    dims = msdd.MsddDims(n_scales=2, emb_dim=8, hidden=16, proj=8)
+    params = msdd.init_msdd_params(jax.random.PRNGKey(1), dims)
+    params["lstm_rev"] = jax.tree_util.tree_map(
+        lambda x: x + 0.01, params["lstm"]
+    )
+    # bidirectional trees project from 2*hidden (engine/nemo_weights)
+    import jax.numpy as _jnp
+
+    params["out"]["w"] = _jnp.concatenate(
+        [params["out"]["w"], params["out"]["w"] * 0.5], axis=0
+    )
+    rng = np.random.default_rng(9)
+    t_total, window_t = 23, 5  # remainder window of 3
+    seg = rng.standard_normal((2, t_total, 8)).astype(np.float32)
+    labels = np.array([0] * 8 + [1] * 8 + [2] * 7)
+    weights = [1.0, 1.0]
+
+    mean_sig, speakers = msdd.msdd_mean_sigmoids(
+        params, seg, labels, weights,
+        diar_window=window_t, seg_duration=1.0,
+    )
+
+    # naive reference: host averages, per-window feature + LSTM calls
+    avg = np.stack(
+        [
+            np.stack([seg[s][labels == spk].mean(0) for spk in speakers])
+            for s in range(2)
+        ]
+    )
+    pairs = list(itertools.combinations(range(3), 2))
+    w = jnp.asarray(weights, jnp.float32)
+    sig_sum = np.zeros((t_total, 3))
+    for start in range(0, t_total, window_t):
+        chunk = jnp.asarray(seg[:, start : start + window_t])
+        feats = jnp.stack(
+            [
+                msdd.pair_features(chunk, jnp.asarray(avg[:, [a, b]]), w)
+                for a, b in pairs
+            ]
+        )
+        probs = np.asarray(jax.nn.sigmoid(msdd.msdd_logits(params, feats)))
+        for pi, (a, b) in enumerate(pairs):
+            tc = probs.shape[1]
+            sig_sum[start : start + tc, a] += probs[pi, :, 0]
+            sig_sum[start : start + tc, b] += probs[pi, :, 1]
+    ref = sig_sum / 2.0  # each of 3 speakers appears in 2 pairs
+    np.testing.assert_allclose(mean_sig, ref, atol=2e-5)
+
+
 def test_msdd_single_speaker_short_circuit():
     dims = msdd.MsddDims(n_scales=2)
     params = msdd.init_msdd_params(jax.random.PRNGKey(0), dims)

@@ -498,10 +498,10 @@ class NeuralDiarizer:
 
         if self.msdd_params is not None:
             m = d.msdd_model.parameters
-            # one device→host transfer for the MSDD windows (the MSDD
-            # forward re-uploads per window batch; keeping its input
-            # contract np preserves the existing windowing code)
-            seg_embs = np.asarray(jnp.stack(mapped_embs))  # [S, n_base, D]
+            # stays on device: msdd_mean_sigmoids computes the cluster
+            # averages and the windowed pair-LSTM pass there, returning
+            # only the [T, K] sigmoids
+            seg_embs = jnp.stack(mapped_embs)  # [S, n_base, D]
             base_w = emb_cfg.window_length_in_sec[-1]
             # the full list-valued sigmoid_threshold is swept (reference
             # telephonic.yaml:60-66 allows multiple); the first entry is

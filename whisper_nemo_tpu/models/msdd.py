@@ -153,24 +153,27 @@ def msdd_mean_sigmoids(
     ``diar_window``-second windowing and runs the pair LSTMs over the
     whole sequence in one pass.
     """
-    n_scales, t_total, d = seg_embs.shape
-    speakers = np.unique(cluster_labels)
+    seg_dev = jnp.asarray(seg_embs)  # no-op for device-resident input
+    n_scales, t_total, d = seg_dev.shape
+    speakers = np.unique(np.asarray(cluster_labels))
     n_spk = len(speakers)
 
     if n_spk == 1 or n_spk > overlap_infer_spk_limit:
         return None, speakers
 
-    # cluster-average embeddings per scale
-    avg = np.stack(
-        [
-            np.stack(
-                [
-                    seg_embs[s][cluster_labels == spk].mean(axis=0)
-                    for spk in speakers
-                ]
-            )
-            for s in range(n_scales)
-        ]
+    # cluster-average embeddings per scale, on device (the host
+    # boolean-mask means cost S*K passes over a 120 MB array at 4 h)
+    label_idx = np.searchsorted(speakers, np.asarray(cluster_labels))
+    onehot = jax.nn.one_hot(
+        jnp.asarray(label_idx), n_spk, dtype=jnp.float32
+    )  # [T, K]
+    counts = jnp.maximum(onehot.sum(axis=0), 1.0)
+    avg = (
+        jnp.einsum(
+            "tk,std->skd", onehot, seg_dev.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        / counts[None, :, None]
     )  # [S, K, D]
 
     w = jnp.asarray(scale_weights, jnp.float32)
@@ -178,32 +181,62 @@ def msdd_mean_sigmoids(
         window_t = max(1, int(diar_window / max(seg_duration, 1e-6)))
     else:
         window_t = t_total
-    sig_sum = np.zeros((t_total, n_spk), np.float64)
-    sig_cnt = np.zeros((n_spk,), np.float64)
+    window_t = min(window_t, t_total)
 
     pairs = list(combinations(range(n_spk), 2))
-    for start in range(0, t_total, window_t):
-        chunk = jnp.asarray(seg_embs[:, start : start + window_t])
-        feats = jnp.stack(
-            [
-                pair_features(chunk, jnp.asarray(avg[:, [a, b]]), w)
-                for a, b in pairs
-            ]
-        )  # [P, Tc, F]
-        for bstart in range(0, len(pairs), infer_batch_size):
-            sub = feats[bstart : bstart + infer_batch_size]
-            probs = jax.nn.sigmoid(msdd_logits(params, sub))
-            probs = np.asarray(probs)  # [p, Tc, 2]
-            for pi, (a, b) in enumerate(
-                pairs[bstart : bstart + infer_batch_size]
-            ):
-                tc = probs.shape[1]
-                sig_sum[start : start + tc, a] += probs[pi, :, 0]
-                sig_sum[start : start + tc, b] += probs[pi, :, 1]
-    for k in range(n_spk):
-        sig_cnt[k] = sum(1 for p in pairs if k in p)
+    pair_idx = np.asarray(pairs)  # [P, 2]
+    avg_pairs = avg[:, jnp.asarray(pair_idx)]  # [S, P, 2, D]
+    avg_pairs = jnp.moveaxis(avg_pairs, 1, 0)  # [P, S, 2, D]
+
+    # every full window for every pair in ONE dispatch (the per-window
+    # loop paid a device round-trip per 50 s window — ~312 sync points
+    # at 4 h); the remainder window runs at its exact length, so both
+    # LSTM directions see the same sequences as the windowed loop did
+    nw_full, rem = divmod(t_total, window_t)
+    prob_parts = []
+    for bstart in range(0, len(pairs), infer_batch_size):
+        bpairs = avg_pairs[bstart : bstart + infer_batch_size]
+        parts = []
+        if nw_full:
+            body = seg_dev[:, : nw_full * window_t].reshape(
+                n_scales, nw_full, window_t, d
+            )
+            parts.append(_msdd_window_probs(params, body, bpairs, w))
+        if rem:
+            tail = seg_dev[:, nw_full * window_t :][:, None]
+            parts.append(_msdd_window_probs(params, tail, bpairs, w))
+        prob_parts.append(
+            np.concatenate([np.asarray(x) for x in parts], axis=1)
+        )
+    probs = np.concatenate(prob_parts, axis=0)  # [P, t_total, 2]
+
+    sig_sum = np.zeros((t_total, n_spk), np.float64)
+    for pi, (a, b) in enumerate(pairs):
+        sig_sum[:, a] += probs[pi, :, 0]
+        sig_sum[:, b] += probs[pi, :, 1]
+    sig_cnt = np.array(
+        [sum(1 for p in pairs if k in p) for k in range(n_spk)], np.float64
+    )
     mean_sig = sig_sum / np.maximum(sig_cnt[None, :], 1.0)
     return mean_sig, speakers
+
+
+@jax.jit
+def _msdd_window_probs(params, seg_win, avg_pairs, w):
+    """[S, n_win, Tc, D] windows × [P, S, 2, D] pair averages →
+    sigmoid probabilities [P, n_win*Tc, 2]; the windows dimension rides
+    the LSTM batch axis, so the whole pass is one compiled program."""
+    s, n_win, tc, d = seg_win.shape
+
+    def feats_for_pair(avg_pair):  # [S, 2, D] -> [n_win, Tc, F]
+        return jax.vmap(
+            lambda chunk: pair_features(chunk, avg_pair, w), in_axes=1
+        )(seg_win)
+
+    feats = jax.vmap(feats_for_pair)(avg_pairs)  # [P, n_win, Tc, F]
+    p, _, _, f = feats.shape
+    logits = msdd_logits(params, feats.reshape(p * n_win, tc, f))
+    return jax.nn.sigmoid(logits).reshape(p, n_win * tc, 2)
 
 
 def _binarize(mean_sig, speakers, cluster_labels, threshold: float):
