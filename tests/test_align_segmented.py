@@ -133,6 +133,57 @@ def test_align_segments_chunked_matches_unchunked(monkeypatch):
         assert a == b
 
 
+def test_label_segments_vectorized_matches_loop():
+    """The scatter-reduction span/score computation equals the original
+    per-frame loop on CTC-shaped paths (contiguous runs, blank gaps,
+    and labels that received no frames)."""
+    from whisper_nemo_tpu.align.segmented import _label_segments_from_scores
+
+    rng = np.random.default_rng(11)
+    n = 12
+    frame_labels = np.full(60, -1, np.int64)
+    t = 2
+    for i in range(n):
+        if i in (3, 7, 8):  # no frames for these labels
+            continue
+        run = rng.integers(1, 5)
+        frame_labels[t : t + run] = i
+        t += run + rng.integers(0, 3)  # blank gap
+    frame_scores = rng.standard_normal(60) - 1.0
+    labels = rng.integers(0, 30, n)
+
+    def loop_reference():
+        starts = np.full(n, -1, np.int64)
+        ends = np.full(n, -1, np.int64)
+        for tt, li in enumerate(frame_labels):
+            if li >= 0:
+                if starts[li] < 0:
+                    starts[li] = tt
+                ends[li] = tt + 1
+        out, prev_end = [], 0
+        for i in range(n):
+            s, e = starts[i], ends[i]
+            if s < 0:
+                s = e = prev_end
+            score = (
+                float(np.exp(frame_scores[s:e]).mean()) if e > s else 0.0
+            )
+            out.append(
+                {"label": int(labels[i]), "start": int(s),
+                 "end": int(e), "score": score}
+            )
+            prev_end = e
+        return out
+
+    got = _label_segments_from_scores(frame_labels, frame_scores, labels)
+    ref = loop_reference()
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert g["label"] == r["label"]
+        assert g["start"] == r["start"] and g["end"] == r["end"]
+        assert abs(g["score"] - r["score"]) < 1e-12
+
+
 def test_device_blocks_match_prepare_item():
     """_viterbi_group_device's on-device block assembly must reproduce
     _prepare_item's layout exactly, and its returned per-frame scores

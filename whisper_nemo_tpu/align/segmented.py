@@ -338,26 +338,52 @@ def _label_segments_from_scores(
     and ``frame_scores[t] == emissions[t, labels[i]]`` there.
     """
     n = len(labels)
-    out: List[dict] = []
+    frame_labels = np.asarray(frame_labels)
+    frame_scores = np.asarray(frame_scores, np.float64)
+
+    # per-label [start, end) runs, vectorized (the per-frame Python
+    # loop was ~720k iterations per 4 h measured run): CTC paths are
+    # monotonic, so each label's frames are one contiguous run and
+    # min/max scatter reductions recover it exactly
     starts = np.full(n, -1, np.int64)
     ends = np.full(n, -1, np.int64)
-    for t, li in enumerate(frame_labels):
-        if li >= 0:
-            if starts[li] < 0:
-                starts[li] = t
-            ends[li] = t + 1
-    prev_end = 0
-    for i in range(n):
-        s, e = starts[i], ends[i]
-        if s < 0:  # label got no frames: zero-width at previous boundary
-            s = e = prev_end
-        score = float(np.exp(frame_scores[s:e]).mean()) if e > s else 0.0
-        out.append(
-            {"label": int(labels[i]), "start": int(s), "end": int(e),
-             "score": score}
-        )
-        prev_end = e
-    return out
+    idx = np.flatnonzero(frame_labels >= 0)
+    lab = frame_labels[idx]
+    if len(idx):
+        first = np.full(n, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, lab, idx)
+        np.maximum.at(ends, lab, idx + 1)
+        got = ends >= 0
+        starts[got] = first[got]
+
+    # zero-width fallback: a label with no frames sits at the previous
+    # label's end (ends are monotone over assigned labels, so a
+    # forward-fill of assigned ends IS the running prev_end)
+    got = starts >= 0
+    filled_ends = np.where(got, ends, 0)
+    prev_ends = np.maximum.accumulate(
+        np.concatenate([[0], filled_ends[:-1]])
+    )
+    starts = np.where(got, starts, prev_ends)
+    ends = np.where(got, ends, prev_ends)
+
+    # per-label mean of exp(score) over the run's frames
+    scores = np.zeros(n, np.float64)
+    if len(idx):
+        np.add.at(scores, lab, np.exp(frame_scores[idx]))
+        counts = np.zeros(n, np.int64)
+        np.add.at(counts, lab, 1)
+        scores = np.where(counts > 0, scores / np.maximum(counts, 1), 0.0)
+
+    return [
+        {
+            "label": int(labels[i]),
+            "start": int(starts[i]),
+            "end": int(ends[i]),
+            "score": float(scores[i]),
+        }
+        for i in range(n)
+    ]
 
 
 def _words_from_frames(item, frame_labels, frame_scores, stride) -> List[dict]:
