@@ -607,7 +607,7 @@ def nme_spectral_clustering(
         and embeddings is not None
         and 0 < n < enhanced_count_thres
     ):
-        est = enhanced_speaker_count(np.asarray(embeddings))
+        est = enhanced_speaker_count(embeddings)
     n_spk = num_speakers if num_speakers is not None else est
     n_spk = int(np.clip(n_spk, min_num_speakers, max_num_speakers))
     if on_device:

@@ -358,12 +358,15 @@ class NeuralDiarizer:
         features,  # device array [T_total, n_mels], unnormalized
         segments: List[ScaleSegment],
         window: float,
-    ) -> np.ndarray:
-        """TitaNet embeddings for one scale's segments.
+    ) -> jnp.ndarray:
+        """DEVICE-RESIDENT TitaNet embeddings for one scale's segments.
 
         Windows are gathered from the shared feature array on device
         (index matrices are the only per-scale host→device traffic),
-        normalized per window, and embedded in large batches.
+        normalized per window, and embedded in large batches. The
+        result is a jnp array on purpose — downstream (scale mapping,
+        affinity, over-clustering, MSDD) consumes it on device; call
+        np.asarray only at a deliberate, single transfer point.
         """
         batch_size = max(self.cfg.batch_size, 256)
         max_frames = int(window * SAMPLE_RATE) // HOP_LENGTH + 1

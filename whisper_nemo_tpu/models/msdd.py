@@ -193,21 +193,39 @@ def msdd_mean_sigmoids(
     # at 4 h); the remainder window runs at its exact length, so both
     # LSTM directions see the same sequences as the windowed loop did
     nw_full, rem = divmod(t_total, window_t)
+    body = None
+    if nw_full:
+        body = seg_dev[:, : nw_full * window_t].reshape(
+            n_scales, nw_full, window_t, d
+        )
+        # pow-2 window-count bucket: zero windows are trimmed below, so
+        # a serving deployment compiles O(log) body shapes instead of
+        # one per recording length
+        nw_b = 1 << max(0, (nw_full - 1).bit_length())
+        if nw_b > nw_full:
+            body = jnp.pad(
+                body, ((0, 0), (0, nw_b - nw_full), (0, 0), (0, 0))
+            )
+    tail = seg_dev[:, nw_full * window_t :][:, None] if rem else None
+
     prob_parts = []
     for bstart in range(0, len(pairs), infer_batch_size):
         bpairs = avg_pairs[bstart : bstart + infer_batch_size]
         parts = []
-        if nw_full:
-            body = seg_dev[:, : nw_full * window_t].reshape(
-                n_scales, nw_full, window_t, d
+        if body is not None:
+            parts.append(
+                np.asarray(_msdd_window_probs(params, body, bpairs, w))[
+                    :, : nw_full * window_t
+                ]
             )
-            parts.append(_msdd_window_probs(params, body, bpairs, w))
-        if rem:
-            tail = seg_dev[:, nw_full * window_t :][:, None]
-            parts.append(_msdd_window_probs(params, tail, bpairs, w))
-        prob_parts.append(
-            np.concatenate([np.asarray(x) for x in parts], axis=1)
-        )
+        if tail is not None:
+            # eager (unjitted): the remainder length varies per
+            # recording, and a fresh XLA program per novel length would
+            # stall serving; one window's eager ops cost ~ms
+            parts.append(
+                np.asarray(_msdd_window_probs_impl(params, tail, bpairs, w))
+            )
+        prob_parts.append(np.concatenate(parts, axis=1))
     probs = np.concatenate(prob_parts, axis=0)  # [P, t_total, 2]
 
     sig_sum = np.zeros((t_total, n_spk), np.float64)
@@ -221,8 +239,7 @@ def msdd_mean_sigmoids(
     return mean_sig, speakers
 
 
-@jax.jit
-def _msdd_window_probs(params, seg_win, avg_pairs, w):
+def _msdd_window_probs_impl(params, seg_win, avg_pairs, w):
     """[S, n_win, Tc, D] windows × [P, S, 2, D] pair averages →
     sigmoid probabilities [P, n_win*Tc, 2]; the windows dimension rides
     the LSTM batch axis, so the whole pass is one compiled program."""
@@ -237,6 +254,9 @@ def _msdd_window_probs(params, seg_win, avg_pairs, w):
     p, _, _, f = feats.shape
     logits = msdd_logits(params, feats.reshape(p * n_win, tc, f))
     return jax.nn.sigmoid(logits).reshape(p, n_win * tc, 2)
+
+
+_msdd_window_probs = jax.jit(_msdd_window_probs_impl)
 
 
 def _binarize(mean_sig, speakers, cluster_labels, threshold: float):

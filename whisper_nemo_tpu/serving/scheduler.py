@@ -73,7 +73,14 @@ class WindowScheduler:
         self.batch_size = batch_size
         env_buckets = os.environ.get("WNT_SERVING_BUCKETS")
         if bucket_sizes is None and env_buckets:
-            bucket_sizes = [int(v) for v in env_buckets.split(",") if v]
+            try:
+                bucket_sizes = [int(v) for v in env_buckets.split(",") if v]
+            except ValueError:
+                logger.warning(
+                    "ignoring malformed WNT_SERVING_BUCKETS=%r "
+                    "(expected comma-separated ints)", env_buckets,
+                )
+                bucket_sizes = None
         if bucket_sizes is not None:
             sizes = sorted({min(b, batch_size) for b in bucket_sizes if b > 0})
             if not sizes or sizes[-1] != batch_size:
