@@ -258,9 +258,13 @@ def test_beam_shared_kv_matches_replicated():
         kv["v_dec_scale"][0], jnp.int32(0), kv["k_len"],
         interpret=True,
     )
-    np.testing.assert_array_equal(
-        np.asarray(shared), np.asarray(replicated)
-    )
+    # the shared path batches a window's lanes into ONE [beam, D] dot
+    # per head (tools/bench_beam_step.py: the serial per-lane form was
+    # compute-bound); a different dot M-dimension reorders the f32
+    # accumulation, so parity is to bf16 rounding, not bitwise
+    a, b = np.asarray(shared), np.asarray(replicated)
+    span = np.abs(b).max()
+    np.testing.assert_allclose(a, b, atol=0.02 * span)
 
 
 def test_decode_step_beam_shared_kv():

@@ -168,12 +168,16 @@ def _split_unpack_bf16(blk: jnp.ndarray, bits: int):
 
 
 def _head_attend(q_h, k_h, vt_h, k_len: int):
-    """[1, D] query x K [D, Kp] x V^T [D, Kp] -> [D] f32. The mix
+    """[M, D] queries x K [D, Kp] x V^T [D, Kp] -> [M, D] f32. The mix
     contracts over the LANE axis of both w and V^T (dot_general) —
-    V never exists untransposed in VMEM."""
+    V never exists untransposed in VMEM. ``M`` is 1 for greedy decode
+    and ``beam`` for beam search (a window's lanes share the head's
+    K/V, so they ride ONE dot instead of M serial [1, D] dots — the
+    serial form measured compute-bound at beam 5: 28.6 ms/step vs the
+    8 ms greedy DMA floor, tools/bench_beam_step.py)."""
     logits = jnp.dot(
         q_h, k_h, preferred_element_type=jnp.float32
-    )  # [1, Kp]
+    )  # [M, Kp]
     kp = logits.shape[-1]
     if kp > k_len:
         pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -182,7 +186,7 @@ def _head_attend(q_h, k_h, vt_h, k_len: int):
     return jax.lax.dot_general(
         w, vt_h, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )[0]  # [D]
+    )  # [M, D]
 
 
 def _kernel(qs_ref, kv_ref, out_ref, *, k_len: int, bits: int = 8):
@@ -197,7 +201,7 @@ def _kernel(qs_ref, kv_ref, out_ref, *, k_len: int, bits: int = 8):
     for i in range(h):
         q_h = qs_ref[0, i][None].astype(jnp.bfloat16)  # [1, D]
         k_h, vt_h = _split_unpack_bf16(kv_ref[0, i], bits)
-        out_ref[0, i] = _head_attend(q_h, k_h, vt_h, k_len)
+        out_ref[0, i] = _head_attend(q_h, k_h, vt_h, k_len)[0]
 
 
 @functools.partial(
@@ -287,48 +291,49 @@ def cross_attention_decode_layered(
     bq = q.shape[0]
     _, _, h, d = q.shape
     n_windows = bq // beam
-    rows = 1
     sm_scale = d**-0.5
     qs = (
         q[:, 0].astype(jnp.float32) * (k_scale * sm_scale)[None]
     )  # [B·beam, H, D]
-    qs = qs.reshape(n_windows // rows, rows * beam * h, d)
+    # head-major layout: a window's ``beam`` lanes sit contiguously per
+    # head so the kernel issues ONE [beam, D] dot per head (the
+    # lane-major form ran beam·h serial [1, D] dots per program —
+    # compute-bound at beam 5, see _head_attend)
+    qs = qs.reshape(n_windows, beam, h, d).transpose(0, 2, 1, 3)
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_windows // rows,),
+        grid=(n_windows,),
         in_specs=[
             pl.BlockSpec(
-                (1, rows * beam * h, d), lambda i, l: (i, 0, 0),
+                (1, h, beam, d), lambda i, l: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, rows, h, kv_dec.shape[-2], kv_dec.shape[-1]),
+                (1, 1, h, kv_dec.shape[-2], kv_dec.shape[-1]),
                 lambda i, l: (l[0], i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, rows * beam * h, d), lambda i, l: (i, 0, 0),
+            (1, h, beam, d), lambda i, l: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
 
     def kernel(l_ref, qs_ref, kv_ref, out_ref):
-        # qs block [1, rows·beam·h, d]; kv block [1, rows, h, ...]
-        for j in range(rows * beam * h):
-            w = j // (beam * h)
-            head = j % h
-            q_h = qs_ref[0, j][None].astype(jnp.bfloat16)  # [1, D]
-            k_h, vt_h = _split_unpack_bf16(kv_ref[0, w, head], bits)
-            out_ref[0, j] = _head_attend(q_h, k_h, vt_h, k_len)
+        # qs block [1, h, beam, d]; kv block [1, 1, h, ...]
+        for head in range(h):
+            q_h = qs_ref[0, head].astype(jnp.bfloat16)  # [beam, D]
+            k_h, vt_h = _split_unpack_bf16(kv_ref[0, 0, head], bits)
+            out_ref[0, head] = _head_attend(q_h, k_h, vt_h, k_len)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_windows // rows, rows * beam * h, d), jnp.float32
+            (n_windows, h, beam, d), jnp.float32
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bq * h * d * kv_dec.shape[-1] * 2,
@@ -340,5 +345,7 @@ def cross_attention_decode_layered(
         interpret=interpret,
     )(lidx, qs, kv_dec)
 
-    out = out.reshape(bq, h, d) * v_scale[None]  # [B·beam, H, D]
+    out = (
+        out.transpose(0, 2, 1, 3).reshape(bq, h, d) * v_scale[None]
+    )  # [B·beam, H, D]
     return out[:, None]  # [B, 1, H, D]
