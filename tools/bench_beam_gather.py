@@ -136,6 +136,40 @@ def main():
             def g(x, src):
                 idx = (jnp.arange(b)[:, None] * k + src).reshape(bk)
                 return jax.lax.map(lambda xl: xl[idx], x)
+        elif name in ("pallas_flat", "pallas_hd"):
+            # same kernel on arrays CREATED with lane-packed minors:
+            # isolates the [., H=16, D=64] half-empty-lane-tile cost
+            from whisper_nemo_tpu.ops.beam_permute import (
+                beam_permute_cache,
+            )
+
+            shape = (
+                (l, bk, (s * h * d) // 128, 128)
+                if name == "pallas_flat"
+                else (l, bk, s, h * d)
+            )
+            x0 = jnp.asarray(base.reshape(shape)).astype(jnp.bfloat16)
+
+            def g(x, src):
+                idx = (jnp.arange(b)[:, None] * k + src).reshape(bk)
+                k2, _v2 = beam_permute_cache(x, x, idx)
+                return k2
+        elif name == "pallas":
+            # the block-DMA permute kernel moves K AND V per call, so
+            # its number is directly the per-step cost (not x2)
+            from whisper_nemo_tpu.ops.beam_permute import (
+                beam_permute_cache,
+            )
+
+            x0 = jnp.asarray(base).astype(jnp.bfloat16)
+
+            def g(x, src):
+                idx = (jnp.arange(b)[:, None] * k + src).reshape(bk)
+                k2, _v2 = beam_permute_cache(x, x, idx)
+                # the unused V output is still written by the kernel
+                # (pallas_call is opaque to DCE), so k2 alone carries
+                # the full K+V cost
+                return k2
         else:
             raise SystemExit(f"unknown variant {name}")
 

@@ -97,8 +97,21 @@ def smoke():
           file=sys.stderr, flush=True)
 
 
+def _run_tool(mod_name, argv):
+    mod = __import__(f"tools.{mod_name}", fromlist=["main"])
+    sys.argv = [f"{mod_name}.py"] + argv
+    mod.main()
+
+
 STEPS = {
     "smoke": smoke,
+    "gather": lambda: _run_tool(
+        "bench_beam_gather",
+        ["--variants", "take_l24,pallas,pallas_flat,pallas_hd"],
+    ),
+    "beamstep": lambda: _run_tool(
+        "bench_beam_step", ["--variants", "prodgreedy,prodbeam,nogather"]
+    ),
     "encoder": lambda: __import__(
         "tools.bench_encoder_int8", fromlist=["bench_full_encoder"]
     ).bench_full_encoder(32, 5),

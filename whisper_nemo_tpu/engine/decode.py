@@ -417,7 +417,20 @@ def beam_decode(
                 lambda x: jnp.repeat(x, k, axis=1), c
             )
 
+        beam_on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+
         def gather_cache(c, idx):
+            # the per-step cache reorder is beam search's dominant HBM
+            # stream; XLA's gather lowering measured 42 ms/step at
+            # medium/b32·k5 vs ~11 ms for the Pallas block-DMA permute
+            # (tools/bench_beam_gather.py). CPU keeps the XLA gather
+            # (interpret-mode Pallas in the decode loop is ~100x
+            # slower, same policy as the cross-decode kernel).
+            if beam_on_tpu:
+                from ..ops.beam_permute import beam_permute_cache
+
+                k2, v2 = beam_permute_cache(c["k"], c["v"], idx)
+                return {"k": k2, "v": v2}
             return {"k": c["k"][:, idx], "v": c["v"][:, idx]}
 
         def expand_cross(ckv):

@@ -16,6 +16,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import attention_kt
 from .whisper import (
     WhisperDims,
     _layer_norm,
@@ -136,12 +137,19 @@ def init_stacked_cache(
     batch: int, dims: WhisperDims, dtype=jnp.float32,
     cache_len: Optional[int] = None,
 ) -> dict:
+    """Self-attention cache in TRANSPOSED layout [L, B, H, D, S]:
+    positions ride the 128-lane axis (cache_len is a 128-multiple) and
+    D=64 fills sublanes exactly — the natural [..., S, H, D] layout
+    leaves half of every lane tile empty, which measured 2× on both
+    attention DMA and the beam reorder (tools/bench_beam_gather.py).
+    Consumed by ops.attention.attention_kt; beam search permutes it
+    with ops.beam_permute.beam_permute_cache block DMAs."""
     h = dims.n_text_head
     hd = dims.n_text_state // h
     t = cache_len or dims.n_text_ctx
     return {
-        "k": jnp.zeros((dims.n_text_layer, batch, t, h, hd), dtype),
-        "v": jnp.zeros((dims.n_text_layer, batch, t, h, hd), dtype),
+        "k": jnp.zeros((dims.n_text_layer, batch, h, hd, t), dtype),
+        "v": jnp.zeros((dims.n_text_layer, batch, h, hd, t), dtype),
     }
 
 
@@ -192,11 +200,15 @@ def prefill_cache_stacked(
         q = _split_heads(_linear(blk["attn"]["q"], xn), dims.n_text_head)
         k_new = _split_heads(_linear(blk["attn"]["k"], xn), dims.n_text_head)
         v_new = _split_heads(_linear(blk["attn"]["v"], xn), dims.n_text_head)
+        # cache is [B, H, D, S] (positions on lanes — see
+        # init_stacked_cache); prompt K/V transpose in on write
         k_cache = jax.lax.dynamic_update_slice(
-            kv_k, k_new.astype(kv_k.dtype), (0, 0, 0, 0)
+            kv_k, k_new.transpose(0, 2, 3, 1).astype(kv_k.dtype),
+            (0, 0, 0, 0),
         )
         v_cache = jax.lax.dynamic_update_slice(
-            kv_v, v_new.astype(kv_v.dtype), (0, 0, 0, 0)
+            kv_v, v_new.transpose(0, 2, 3, 1).astype(kv_v.dtype),
+            (0, 0, 0, 0),
         )
         attn = _attention(q, k_new, v_new, mask).reshape(b, p_len, -1)
         x = x + _linear(blk["attn"]["o"], attn)
@@ -283,7 +295,7 @@ def decode_step_stacked(
     loop-carry shrinking contract of models.whisper.decode_step)."""
     dec = params["decoder"]
     b = token.shape[0]
-    cache_len = cache["k"].shape[2]
+    cache_len = cache["k"].shape[-1]  # [L, B, H, D, S]: positions last
     if pos_offset is None:
         pos_emb = dec["pos_emb"][pos]
     else:
@@ -336,22 +348,25 @@ def decode_step_stacked(
             v_new = _split_heads(
                 _linear(blk["attn"]["v"], xn), dims.n_text_head
             )
+            # cache is [L, B, H, D, S] (positions on lanes); the new
+            # token's K/V transpose in on write
             cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k_new.astype(cache_k.dtype)[None],
-                (li, 0, pos, 0, 0),
+                cache_k,
+                k_new.transpose(0, 2, 3, 1).astype(cache_k.dtype)[None],
+                (li, 0, 0, 0, pos),
             )
             cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v_new.astype(cache_v.dtype)[None],
-                (li, 0, pos, 0, 0),
+                cache_v,
+                v_new.transpose(0, 2, 3, 1).astype(cache_v.dtype)[None],
+                (li, 0, 0, 0, pos),
             )
-            cl = cache_k.shape[2]
             k_l = jax.lax.dynamic_slice(
                 cache_k, (li, 0, 0, 0, 0), (1,) + cache_k.shape[1:]
             )[0]
             v_l = jax.lax.dynamic_slice(
                 cache_v, (li, 0, 0, 0, 0), (1,) + cache_v.shape[1:]
             )[0]
-            attn = _attention(q, k_l, v_l, mask).reshape(b, 1, -1)
+            attn = attention_kt(q, k_l, v_l, mask).reshape(b, 1, -1)
             x = x + _linear(blk["attn"]["o"], attn)
 
             xq = _layer_norm(blk["ln_cross"], x)
@@ -394,12 +409,14 @@ def decode_step_stacked(
         k_new = _split_heads(_linear(blk["attn"]["k"], xn), dims.n_text_head)
         v_new = _split_heads(_linear(blk["attn"]["v"], xn), dims.n_text_head)
         k_cache = jax.lax.dynamic_update_slice(
-            kv_k, k_new.astype(kv_k.dtype), (0, pos, 0, 0)
+            kv_k, k_new.transpose(0, 2, 3, 1).astype(kv_k.dtype),
+            (0, 0, 0, pos),
         )
         v_cache = jax.lax.dynamic_update_slice(
-            kv_v, v_new.astype(kv_v.dtype), (0, pos, 0, 0)
+            kv_v, v_new.transpose(0, 2, 3, 1).astype(kv_v.dtype),
+            (0, 0, 0, pos),
         )
-        attn = _attention(q, k_cache, v_cache, mask).reshape(b, 1, -1)
+        attn = attention_kt(q, k_cache, v_cache, mask).reshape(b, 1, -1)
         x = x + _linear(blk["attn"]["o"], attn)
 
         xq = _layer_norm(blk["ln_cross"], x)

@@ -125,6 +125,34 @@ def _flash_attention(q, k, v):
     return out.swapaxes(1, 2)[:, :t]
 
 
+def attention_kt(q, k_t, v_t, mask=None):
+    """Decode-step attention over a TRANSPOSED KV cache:
+    [B, Tq, H, D] × K^T/V^T [B, H, D, S] → [B, Tq, H, D].
+
+    The decode self-attention cache stores positions on the LANE axis
+    ([..., D, S]: D=64 sublanes, S a 128-multiple) — the split
+    [..., H=16, D=64] layout leaves half of every 128-lane tile empty,
+    which measured 2× on both DMA and gather traffic
+    (tools/bench_beam_gather.py). Same conventions as
+    ``_xla_attention`` (fp32 softmax, finite mask replacement); the
+    softmax scale folds entirely into q (one [B, Tq, H, D]-sized
+    multiply) instead of scaling the S-sized cache by d^-0.25.
+    """
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bhds->bhqs",
+        (q * scale).astype(k_t.dtype),
+        k_t,
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        logits = jnp.where(mask >= 0.0, logits, _MASK_VALUE)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+        q.dtype
+    )
+    return jnp.einsum("bhqs,bhds->bqhd", weights, v_t)
+
+
 def multihead_attention(q, k, v, mask=None, impl: Optional[str] = None):
     """Dispatch between the XLA einsum path and the Pallas kernel.
 
