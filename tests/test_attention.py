@@ -58,3 +58,66 @@ def test_xla_attention_matches_reference_softmax():
     w = jax.nn.softmax(logits, axis=-1)
     ref = jnp.einsum("bhqk,bkhd->bqhd", w, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_attention_kt_matches_gathered_reference():
+    """attention_kt over a transposed cache equals plain softmax
+    attention over the untransposed one."""
+    from whisper_nemo_tpu.ops.attention import attention_kt
+
+    rng = np.random.default_rng(3)
+    b, h, d, s = 4, 2, 8, 16
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, d, s)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, d, s)), jnp.float32)
+    out = attention_kt(q, k, v)
+
+    logits = np.einsum(
+        "bqhd,bhds->bhqs", np.asarray(q) * d**-0.5, np.asarray(k)
+    )
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    want = np.einsum("bhqs,bhds->bqhd", w, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_attention_kt_ancestry_matches_gathered_cache(with_mask):
+    """Ancestry selection over an unreordered cache must equal
+    attention_kt over the explicitly beam-gathered cache (beam search's
+    no-reorder contract, engine/decode.py beam_decode)."""
+    from whisper_nemo_tpu.ops.attention import (
+        attention_kt,
+        attention_kt_ancestry,
+    )
+
+    rng = np.random.default_rng(5)
+    b, kk, h, d, s = 3, 4, 2, 8, 16
+    bk = b * kk
+    q = jnp.asarray(rng.standard_normal((bk, 1, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bk, h, d, s)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bk, h, d, s)), jnp.float32)
+    anc = rng.integers(0, kk, size=(b, kk, s))
+    mask = None
+    if with_mask:
+        valid = rng.random((bk, s)) > 0.3
+        valid[:, 0] = True  # keep at least one visible position
+        mask = jnp.where(
+            jnp.asarray(valid), 0.0, -jnp.inf
+        ).astype(jnp.float32)[:, None, None, :]
+
+    out = attention_kt_ancestry(q, k, v, jnp.asarray(anc, jnp.int32), mask)
+
+    # reference: materialize each (window, lane, position)'s true
+    # source row and run the plain transposed-cache attention
+    rows = (np.arange(b)[:, None, None] * kk + anc).reshape(bk, s)
+    kg = np.take_along_axis(
+        np.asarray(k), rows[:, None, None, :], axis=0
+    )
+    vg = np.take_along_axis(
+        np.asarray(v), rows[:, None, None, :], axis=0
+    )
+    want = attention_kt(q, jnp.asarray(kg), jnp.asarray(vg), mask)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), atol=1e-5
+    )

@@ -154,6 +154,25 @@ def main():
                 idx = (jnp.arange(b)[:, None] * k + src).reshape(bk)
                 k2, _v2 = beam_permute_cache(x, x, idx)
                 return k2
+        elif name in ("pallas_t", "pallas_t5d"):
+            # the SHIPPED transposed cache shape [L, BK, H, D, S]:
+            # pallas_t uses the production path (rows flattened to a
+            # (H*D*S/128, 128) minor inside beam_permute_cache);
+            # pallas_t5d forces the raw 5-D blocks to isolate the
+            # sub-block DMA cost the flatten removes
+            from whisper_nemo_tpu.ops.beam_permute import (
+                beam_permute_cache,
+            )
+
+            x0 = jnp.asarray(
+                base.transpose(0, 1, 3, 4, 2)
+            ).astype(jnp.bfloat16)  # [L, BK, H, D, S]
+            flat = name == "pallas_t"
+
+            def g(x, src):
+                idx = (jnp.arange(b)[:, None] * k + src).reshape(bk)
+                k2, _v2 = beam_permute_cache(x, x, idx, flatten=flat)
+                return k2
         elif name == "pallas":
             # the block-DMA permute kernel moves K AND V per call, so
             # its number is directly the per-step cost (not x2)

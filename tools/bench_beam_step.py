@@ -219,6 +219,43 @@ def main():
                     "k": cache["k"][:, gather_idx],
                     "v": cache["v"][:, gather_idx],
                 }
+            elif gather == "pallas":
+                from whisper_nemo_tpu.ops.beam_permute import (
+                    beam_permute_cache,
+                )
+
+                k2, v2 = beam_permute_cache(
+                    cache["k"], cache["v"], gather_idx
+                )
+                cache = {"k": k2, "v": v2}
+            elif gather == "inplace":
+                from whisper_nemo_tpu.ops.beam_permute import (
+                    beam_permute_cache_inplace,
+                )
+
+                k2, v2 = beam_permute_cache_inplace(
+                    cache["k"], cache["v"], src_beam, beam=k
+                )
+                cache = {"k": k2, "v": v2}
+            elif gather == "onehotfull":
+                # XLA's chosen loop layout keeps beam rows on the LANE
+                # axis (dump_beam_hlo.py: cache layout {1,3,2,4,0}), so
+                # a row permutation is a lane shuffle = one [BK, BK]
+                # one-hot matmul on the MXU, in XLA's own layout (the
+                # Pallas kernel instead forces default layout and pays
+                # 6 transposing copies/step)
+                oh = (
+                    jnp.arange(bk)[:, None] == gather_idx[None, :]
+                ).astype(cache["k"].dtype)
+
+                def reindex(c):
+                    return jnp.einsum(
+                        "lihds,ij->ljhds", c, oh,
+                        preferred_element_type=jnp.float32,
+                    ).astype(c.dtype)
+
+                cache = {"k": reindex(cache["k"]),
+                         "v": reindex(cache["v"])}
             elif gather == "onehot":
                 # grouped one-hot matmul: contraction only within each
                 # row's k beams ([B, Knew, Kold] x [L, B, Kold, S*H*D])
@@ -287,6 +324,9 @@ def main():
         else:
             cfg = {
                 "full": ("take", "lax", True),
+                "pallas": ("pallas", "lax", True),
+                "inplace": ("inplace", "lax", True),
+                "onehotfull": ("onehotfull", "lax", True),
                 "onehot": ("onehot", "lax", True),
                 "nogather": ("none", "lax", True),
                 "argmaxk": ("take", "argmaxk", True),

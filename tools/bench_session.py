@@ -107,10 +107,11 @@ STEPS = {
     "smoke": smoke,
     "gather": lambda: _run_tool(
         "bench_beam_gather",
-        ["--variants", "take_l24,pallas,pallas_flat,pallas_hd"],
+        ["--variants", "pallas_t,pallas_t5d,pallas_flat"],
     ),
     "beamstep": lambda: _run_tool(
-        "bench_beam_step", ["--variants", "prodgreedy,prodbeam,nogather"]
+        "bench_beam_step",
+        ["--variants", "prodgreedy,prodbeam,full,pallas,inplace,nogather"]
     ),
     "encoder": lambda: __import__(
         "tools.bench_encoder_int8", fromlist=["bench_full_encoder"]

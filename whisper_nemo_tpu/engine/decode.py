@@ -417,21 +417,18 @@ def beam_decode(
                 lambda x: jnp.repeat(x, k, axis=1), c
             )
 
-        beam_on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-
-        def gather_cache(c, idx):
-            # the per-step cache reorder is beam search's dominant HBM
-            # stream; XLA's gather lowering measured 42 ms/step at
-            # medium/b32·k5 vs ~11 ms for the Pallas block-DMA permute
-            # (tools/bench_beam_gather.py). CPU keeps the XLA gather
-            # (interpret-mode Pallas in the decode loop is ~100x
-            # slower, same policy as the cross-decode kernel).
-            if beam_on_tpu:
-                from ..ops.beam_permute import beam_permute_cache
-
-                k2, v2 = beam_permute_cache(c["k"], c["v"], idx)
-                return {"k": k2, "v": v2}
-            return {"k": c["k"][:, idx], "v": c["v"][:, idx]}
+        # the stacked path never reorders the cache: the classic
+        # per-step KV-cache permute (CT2's batch_reorder) costs a full
+        # K+V HBM round-trip PLUS an XLA copy back into the fixed
+        # while-carry buffers — ~24 ms of a 36 ms step at medium/b32·k5
+        # in every formulation tried (XLA gather, Pallas block DMA,
+        # aliased in-place Pallas, full one-hot MXU matmul;
+        # tools/bench_beam_step.py). Instead each row keeps writing its
+        # own lane and a [B, K, S] ancestry map records which window
+        # lane owns each history position; self-attention selects lanes
+        # with an exact one-hot contraction
+        # (ops.attention.attention_kt_ancestry, anc= below).
+        gather_cache = None
 
         def expand_cross(ckv):
             if "kv_dec" in ckv:
@@ -462,7 +459,8 @@ def beam_decode(
                 {"k": expand(kv["k"]), "v": expand(kv["v"])} for kv in c
             ]
 
-        def gather_cache(c, idx):
+        def gather_cache(c, idx, src):
+            del src
             return [
                 {"k": kv["k"][idx], "v": kv["v"][idx]} for kv in c
             ]
@@ -538,7 +536,7 @@ def beam_decode(
         return (pos < max_len) & ~jnp.all(finished)
 
     def body(state):
-        (pos, tokens, cache, finished, beam_scores, hid) = state
+        (pos, tokens, cache, finished, beam_scores, hid, anc) = state
         # ``hid`` predicts the token at ``pos``; project here
         logits = _vocab_logits(dec, hid).astype(jnp.float32)
         filt = logits + suppress_mask[None, :]
@@ -580,17 +578,39 @@ def beam_decode(
 
         tokens = tokens[gather_idx]
         tokens = tokens.at[jnp.arange(bk), pos].set(new_tok.reshape(bk))
-        cache = gather_cache(cache, gather_idx)
+        if stacked:
+            # new beam j inherits its source's lane ancestry; the token
+            # about to be written at ``pos`` lives in j's own lane
+            anc = jnp.take_along_axis(anc, src_beam[:, :, None], axis=1)
+            anc = anc.at[:, :, pos].set(
+                jnp.broadcast_to(
+                    jnp.arange(k, dtype=anc.dtype)[None], (b, k)
+                )
+            )
+            step_kwargs = {"anc": anc}
+        else:
+            cache = gather_cache(cache, gather_idx, src_beam)
+            step_kwargs = {}
         finished = finished[gather_idx] | (
             new_tok.reshape(bk) == opts.eot
         )
         next_hid, cache = step_fn(
             params, new_tok.reshape(bk), pos, cache, cross_kv, dims,
             dtype, kv_valid=kv_valid, pos_offset=pos_offset,
-            return_hidden=True,
+            return_hidden=True, **step_kwargs,
         )  # hidden predicting pos + 1
-        return (pos + 1, tokens, cache, finished, top_scores, next_hid)
+        return (
+            pos + 1, tokens, cache, finished, top_scores, next_hid, anc
+        )
 
+    if stacked:
+        # every lane starts owning its own (prompt-identical) history
+        anc0 = jnp.tile(
+            jnp.arange(k, dtype=jnp.int32)[None, :, None],
+            (b, 1, cache_len),
+        )
+    else:
+        anc0 = jnp.zeros((0,), jnp.int32)  # unused carry placeholder
     init = (
         jnp.int32(n_prompt),
         tokens,
@@ -598,8 +618,9 @@ def beam_decode(
         jnp.zeros((bk,), bool),
         beam_scores,
         first_hid,
+        anc0,
     )
-    (_, tokens, _, finished, beam_scores, _) = jax.lax.while_loop(
+    (_, tokens, _, finished, beam_scores, _, _) = jax.lax.while_loop(
         cond, body, init
     )
 

@@ -16,7 +16,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attention_kt
+from ..ops.attention import attention_kt, attention_kt_ancestry
 from .whisper import (
     WhisperDims,
     _layer_norm,
@@ -288,11 +288,17 @@ def decode_step_stacked(
     kv_valid: Optional[jnp.ndarray] = None,
     pos_offset: Optional[jnp.ndarray] = None,
     return_hidden: bool = False,
+    anc: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Numerically identical to models.whisper.decode_step, with the
     layer loop as a lax.scan over stacked params. ``return_hidden``
     returns the final-norm hidden [B, D] instead of vocab logits (the
-    loop-carry shrinking contract of models.whisper.decode_step)."""
+    loop-carry shrinking contract of models.whisper.decode_step).
+
+    ``anc`` ([B, K, S] int in [0, K), with B*K == token batch) switches
+    self-attention to beam-ancestry selection over the unreordered
+    cache (ops.attention.attention_kt_ancestry) — beam search passes it
+    instead of reordering the cache every step."""
     dec = params["decoder"]
     b = token.shape[0]
     cache_len = cache["k"].shape[-1]  # [L, B, H, D, S]: positions last
@@ -366,7 +372,11 @@ def decode_step_stacked(
             v_l = jax.lax.dynamic_slice(
                 cache_v, (li, 0, 0, 0, 0), (1,) + cache_v.shape[1:]
             )[0]
-            attn = attention_kt(q, k_l, v_l, mask).reshape(b, 1, -1)
+            if anc is None:
+                attn = attention_kt(q, k_l, v_l, mask)
+            else:
+                attn = attention_kt_ancestry(q, k_l, v_l, anc, mask)
+            attn = attn.reshape(b, 1, -1)
             x = x + _linear(blk["attn"]["o"], attn)
 
             xq = _layer_norm(blk["ln_cross"], x)
@@ -416,7 +426,11 @@ def decode_step_stacked(
             kv_v, v_new.transpose(0, 2, 3, 1).astype(kv_v.dtype),
             (0, 0, 0, pos),
         )
-        attn = attention_kt(q, k_cache, v_cache, mask).reshape(b, 1, -1)
+        if anc is None:
+            attn = attention_kt(q, k_cache, v_cache, mask)
+        else:
+            attn = attention_kt_ancestry(q, k_cache, v_cache, anc, mask)
+        attn = attn.reshape(b, 1, -1)
         x = x + _linear(blk["attn"]["o"], attn)
 
         xq = _layer_norm(blk["ln_cross"], x)

@@ -153,6 +153,69 @@ def attention_kt(q, k_t, v_t, mask=None):
     return jnp.einsum("bhqs,bhds->bqhd", weights, v_t)
 
 
+def attention_kt_ancestry(q, k_t, v_t, anc, mask=None):
+    """Beam decode-step attention over an UNREORDERED transposed KV
+    cache, selecting each history position's true source lane through
+    a per-position ancestry map.
+
+    Beam search classically reorders the whole KV cache every step
+    (CT2's ``batch_reorder``); inside a ``lax.while_loop`` on TPU that
+    costs a full K+V HBM round-trip per step *plus* an XLA copy back
+    into the fixed loop-carry buffers (tools/bench_beam_step.py: the
+    reorder is ~24 ms of a 36 ms step at medium/b32·k5 in every
+    formulation — XLA gather, Pallas block DMA, even an aliased
+    in-place kernel, which XLA guards with layout-transposing copies
+    because its chosen loop layout keeps beam rows on the lane axis).
+
+    Instead the cache is NEVER reordered: each beam row writes its own
+    K/V at its own lane, and ``anc[b, j, p]`` records which of window
+    ``b``'s ``K`` lanes wrote position ``p`` of (current) beam ``j``'s
+    history. Attention computes logits of every query lane against all
+    ``K`` lanes of its window (the cache bytes read are unchanged —
+    lanes share the window read; only MXU FLOPs go ×K on a
+    memory-bound op) and selects with an exact one-hot contraction:
+    zero terms are exact zeros, so the result equals attention over
+    the explicitly-gathered cache.
+
+    The cache tensors only ever enter the two einsums attention_kt
+    itself uses ("bqhd,bhds->bhqs" / "bhqs,bhds->bqhd", here with
+    Tq = K: every row scores ALL K query lanes of its window) — any
+    formulation that reshapes the cache slice into a [B, K, ...]
+    window view makes XLA relayout the full slice every layer
+    (~2 GB/step of transposes at medium/b32·k5, measured 43.6 ms/step
+    vs this form; tools/dump_beam_hlo.py). The one-hot selection then
+    runs on the SMALL [BK, H, K, S] logits/weights tensors only.
+
+    q: [B*K, Tq=1, H, D]; k_t/v_t: [B*K, H, D, S]; anc: [B, K, S] int
+    in [0, K); mask as in ``attention_kt`` ([B*K|1, 1, 1, S]).
+    """
+    b, kk, s = anc.shape
+    bk, tq, h, d = q.shape
+    scale = d ** -0.5
+    # every row of a window carries the window's K query lanes
+    q2 = (q * scale).astype(k_t.dtype).reshape(b, 1, kk, h, d)
+    q_all = jnp.broadcast_to(q2, (b, kk, kk, h, d)).reshape(bk, kk, h, d)
+    logits_all = jnp.einsum(
+        "bqhd,bhds->bhqs", q_all, k_t,
+        preferred_element_type=jnp.float32,
+    )  # [BK, H, J, S]: row (b, i)'s cache scored by query lane j
+    oh = jax.nn.one_hot(anc, kk, dtype=jnp.float32)  # [B, J, S, I]
+    # select each (query lane, position)'s true source row
+    l5 = logits_all.reshape(b, kk, h, kk, s)  # [B, I, H, J, S]
+    logits = jnp.einsum("bihjs,bjsi->bjhs", l5, oh)
+    if mask is not None:
+        m = jnp.broadcast_to(mask, (bk, 1, 1, s)).reshape(b, kk, 1, s)
+        logits = jnp.where(m >= 0.0, logits, _MASK_VALUE)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # [B,J,H,S]
+    # scatter weights back onto their source rows, then the plain AV
+    w_all = jnp.einsum("bjhs,bjsi->bihjs", w, oh).astype(q.dtype)
+    out_all = jnp.einsum(
+        "bhqs,bhds->bqhd", w_all.reshape(bk, h, kk, s), v_t
+    )  # [BK, J, H, D]
+    out = out_all.reshape(b, kk, kk, h, d).sum(axis=1)  # Σ source rows
+    return out.reshape(bk, tq, h, d)
+
+
 def multihead_attention(q, k, v, mask=None, impl: Optional[str] = None):
     """Dispatch between the XLA einsum path and the Pallas kernel.
 
