@@ -131,3 +131,120 @@ def test_from_dir_tokenizer_json(tmp_path):
     assert tok.encode("he") == [256]
     assert tok.decode([256]) == "he"
     assert tok.layout.n_languages == 99
+
+
+def _openai_whisper_reference_suppress(tok, suppress_tokens):
+    """Independent transcription of openai-whisper's
+    ``_get_suppress_tokens`` + ``Tokenizer.non_speech_tokens`` (the
+    construction the reference relies on via main.py:381-391 and
+    faster-whisper's identical get_suppressed_tokens), used to pin
+    ``get_suppressed_tokens`` against the published semantics."""
+    # non_speech_tokens
+    symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
+    symbols += (
+        "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} "
+        "♪♪ ♪♪♪".split()
+    )
+    miscellaneous = set("♩♪♫♬♭♮♯")
+    assert all(0x2640 <= ord(c) <= 0x267F for c in miscellaneous)
+    non_speech = {tok.encode(" -")[0], tok.encode(" '")[0]}
+    for symbol in symbols + list(miscellaneous):
+        for ids in [tok.encode(symbol), tok.encode(" " + symbol)]:
+            if len(ids) == 1 or symbol in miscellaneous:
+                non_speech.add(ids[0])
+    # _get_suppress_tokens
+    if isinstance(suppress_tokens, str):
+        suppress_tokens = [int(t) for t in suppress_tokens.split(",")]
+    else:
+        suppress_tokens = list(suppress_tokens)
+    if -1 in suppress_tokens:
+        suppress_tokens = [t for t in suppress_tokens if t >= 0]
+        suppress_tokens.extend(sorted(non_speech))
+    suppress_tokens.extend(
+        [
+            tok.layout.transcribe,
+            tok.layout.translate,
+            tok.sot,
+            tok.layout.startofprev,
+            tok.layout.startoflm,
+        ]
+    )
+    suppress_tokens.append(tok.no_speech)
+    return tuple(sorted(set(suppress_tokens)))
+
+
+def test_default_suppress_expands_minus_one():
+    """The reference CLI default ``suppress_tokens=[-1]``
+    (diarize.py:126-130) must expand to the non-speech list + specials,
+    exactly as openai-whisper/faster-whisper construct it."""
+    from whisper_nemo_tpu.text.tokenizer import get_suppressed_tokens
+
+    tok = WhisperTokenizer.byte_fallback()
+    got = get_suppressed_tokens(tok, (-1,))
+    want = _openai_whisper_reference_suppress(tok, [-1])
+    assert got == want
+    # the expansion actually contains the non-speech ids and specials
+    assert set(tok.non_speech_tokens()) <= set(got)
+    for special in (
+        tok.sot,
+        tok.layout.transcribe,
+        tok.layout.translate,
+        tok.layout.startofprev,
+        tok.layout.startoflm,
+        tok.no_speech,
+    ):
+        assert special in got
+    # -1 itself never survives into the mask input
+    assert -1 not in got
+
+
+def test_explicit_suppress_list_keeps_ids_and_adds_specials():
+    from whisper_nemo_tpu.text.tokenizer import get_suppressed_tokens
+
+    tok = WhisperTokenizer.byte_fallback()
+    got = get_suppressed_tokens(tok, [5, 17])
+    want = _openai_whisper_reference_suppress(tok, [5, 17])
+    assert got == want
+    assert 5 in got and 17 in got
+    # no non-speech expansion without -1
+    assert not set(tok.non_speech_tokens()) <= set(got)
+
+
+def test_suppress_string_and_empty_forms():
+    from whisper_nemo_tpu.text.tokenizer import get_suppressed_tokens
+
+    tok = WhisperTokenizer.byte_fallback()
+    # openai-whisper's default is the string "-1"
+    assert get_suppressed_tokens(tok, "-1") == get_suppressed_tokens(
+        tok, [-1]
+    )
+    # empty / None: only the always-suppressed specials
+    for empty in ((), None, ""):
+        got = get_suppressed_tokens(tok, empty)
+        assert got == tuple(
+            sorted(
+                {
+                    tok.layout.transcribe,
+                    tok.layout.translate,
+                    tok.sot,
+                    tok.layout.startofprev,
+                    tok.layout.startoflm,
+                    tok.no_speech,
+                }
+            )
+        )
+
+
+def test_non_speech_tokens_word_internal_hyphen_allowed():
+    """Bare '-' and ''' (word-internal) stay legal; only the
+    space-prefixed word-initial forms are suppressed."""
+    tok = WhisperTokenizer.byte_fallback()
+    ns = set(tok.non_speech_tokens())
+    bare_hyphen = tok.encode("-")
+    bare_quote = tok.encode("'")
+    if len(bare_hyphen) == 1:
+        assert bare_hyphen[0] not in ns
+    if len(bare_quote) == 1:
+        assert bare_quote[0] not in ns
+    assert tok.encode(" -")[0] in ns
+    assert tok.encode(" '")[0] in ns

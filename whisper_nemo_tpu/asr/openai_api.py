@@ -47,6 +47,7 @@ class OpenAIWhisperModel:
         temperature: Union[float, Sequence[float]] = (
             0.0, 0.2, 0.4, 0.6, 0.8, 1.0,
         ),
+        suppress_tokens: Union[str, Sequence[int], None] = "-1",
         word_timestamps: bool = False,
         verbose: Optional[bool] = None,
         **_ignored,
@@ -55,9 +56,18 @@ class OpenAIWhisperModel:
             audio = decode_audio(audio)
         if isinstance(temperature, (int, float)):
             temperature = (float(temperature),)
+        if isinstance(suppress_tokens, str):
+            # openai-whisper's default is the string "-1" (expanded to
+            # the non-speech list by text.tokenizer.get_suppressed_tokens)
+            suppress_tokens = (
+                tuple(int(t) for t in suppress_tokens.split(","))
+                if suppress_tokens
+                else ()
+            )
         segments, info = self.engine.transcribe_sequential(
             np.asarray(audio, np.float32),
             language=language,
+            suppress_tokens=tuple(suppress_tokens or ()),
             temperatures=tuple(temperature),
             compression_ratio_threshold=compression_ratio_threshold,
             logprob_threshold=logprob_threshold,

@@ -56,8 +56,11 @@ def build_suppress_mask(
 ) -> np.ndarray:
     """[-inf at suppressed ids] additive fp32 mask of shape [V].
 
-    ``-1`` entries (the reference's "no suppression" sentinel,
-    diarize.py:129) are ignored.
+    Callers resolve the user-facing option (including the ``-1`` →
+    non-speech-list expansion of the reference's default,
+    diarize.py:126-130 / main.py:381-391) with
+    ``text.tokenizer.get_suppressed_tokens`` first; out-of-range ids
+    are ignored here.
     """
     mask = np.zeros((vocab_size,), np.float32)
     for t in suppress_tokens:
@@ -81,6 +84,10 @@ def _apply_timestamp_rules(
     """
     b, v = logits.shape
     ts_begin = opts.timestamp_begin
+
+    # <|notimestamps|> never appears in timestamped generation
+    # (openai-whisper's ApplyTimestampRules suppresses it first)
+    logits = logits.at[:, opts.no_timestamps].set(-jnp.inf)
 
     last = tokens[jnp.arange(b), jnp.maximum(pos - 1, 0)]
     penult = tokens[jnp.arange(b), jnp.maximum(pos - 2, 0)]

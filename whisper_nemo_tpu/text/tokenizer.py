@@ -388,17 +388,77 @@ class WhisperTokenizer:
 
     def non_speech_tokens(self) -> List[int]:
         """Token ids for common non-speech annotations (♪, parenthesized
-        noise tags, etc.) suppressed during decoding — mirrors
-        openai-whisper's suppress list construction."""
+        noise tags, speaker brackets) suppressed during decoding.
+
+        Mirrors openai-whisper's ``Tokenizer.non_speech_tokens`` exactly
+        — the list ``suppress_tokens=[-1]`` expands into (the
+        reference's default: diarize.py:126-130 passes ``[-1]`` to
+        faster-whisper, and main.py:381-391 relies on openai-whisper's
+        ``"-1"`` default):
+
+        - single-token symbol spellings, bare and space-prefixed;
+        - the U+2640–U+267F miscellaneous music symbols, whose FIRST
+          token is suppressed even in multi-token spellings (they share
+          UTF-8 prefix bytes, so the first token is safely specific);
+        - hyphen/apostrophe only in word-initial (space-prefixed) form,
+          keeping them legal between words.
+        """
         symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
         symbols += "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪".split()
-        result = set()
-        for symbol in symbols + list("-'"):
-            for tok in (symbol, " " + symbol):
-                ids = self.encode(tok)
-                if len(ids) == 1:
+        miscellaneous = set("♩♪♫♬♭♮♯")
+
+        # allow hyphens "-" and single quotes "'" between words, but not
+        # at the beginning of a word
+        result = {self.encode(" -")[0], self.encode(" '")[0]}
+        for symbol in symbols + list(miscellaneous):
+            for ids in (self.encode(symbol), self.encode(" " + symbol)):
+                if len(ids) == 1 or symbol in miscellaneous:
                     result.add(ids[0])
         return sorted(result)
+
+
+def get_suppressed_tokens(
+    tokenizer: "WhisperTokenizer", suppress_tokens
+) -> Tuple[int, ...]:
+    """Expand the user-facing ``suppress_tokens`` option into the id
+    list actually masked during text generation.
+
+    Reproduces faster-whisper's ``get_suppressed_tokens`` and
+    openai-whisper's ``_get_suppress_tokens`` (the engines behind
+    reference diarize.py:126-130 and main.py:381-391):
+
+    - a string ("-1" is openai-whisper's default) parses as
+      comma-separated ids;
+    - ``-1`` expands to :meth:`WhisperTokenizer.non_speech_tokens`;
+    - the task/special tokens (translate, transcribe, sot, startofprev,
+      startoflm) are ALWAYS suppressed, plus nospeech (openai-whisper
+      collects its probability separately at the SOT step — as does
+      ``engine.decode``)."""
+    if suppress_tokens is None:
+        out: List[int] = []
+    elif isinstance(suppress_tokens, str):
+        out = (
+            [int(t) for t in suppress_tokens.split(",")]
+            if suppress_tokens
+            else []
+        )
+    else:
+        out = list(suppress_tokens)
+    if -1 in out:
+        out = [t for t in out if t >= 0]
+        out.extend(tokenizer.non_speech_tokens())
+    layout = tokenizer.layout
+    out.extend(
+        [
+            layout.translate,
+            layout.transcribe,
+            tokenizer.sot,
+            layout.startofprev,
+            layout.startoflm,
+            tokenizer.no_speech,
+        ]
+    )
+    return tuple(sorted(set(out)))
 
 
 def find_numeral_symbol_tokens(tokenizer) -> List[int]:
