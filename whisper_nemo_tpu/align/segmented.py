@@ -187,7 +187,11 @@ def align_segments(
     """Word timestamps for ASR segments via per-segment batched Viterbi.
 
     Returns the same rows as ``postprocess_results``:
-    ``{"text", "start", "end", "score"}`` in global seconds.
+    ``{"text", "start", "end", "score"}`` in global seconds, plus a
+    ``"segment"`` key carrying the index of the input segment each word
+    was aligned under (faster-whisper's word records are exact
+    per-segment partitions, so consumers attach by this index rather
+    than by a time-window heuristic).
     """
     import os as _os
     import time as _time
@@ -211,7 +215,7 @@ def align_segments(
     # build per-segment work items (text/labels on host; audio frames
     # stay device-resident — items carry only [t0, t1) indices)
     items = []
-    for seg in segments:
+    for seg_index, seg in enumerate(segments):
         text = seg["text"].strip()
         if not text:
             continue
@@ -236,6 +240,7 @@ def align_segments(
                 "counts": token_label_counts,
                 "tokens_starred": tokens_starred,
                 "text_starred": text_starred,
+                "seg_index": seg_index,
             }
         )
 
@@ -408,6 +413,7 @@ def _words_from_frames(item, frame_labels, frame_scores, stride) -> List[dict]:
                 "start": start_f * stride / 1000.0,
                 "end": end_f * stride / 1000.0,
                 "score": float(np.mean([s["score"] for s in span])),
+                "segment": item["seg_index"],
             }
         )
     return words

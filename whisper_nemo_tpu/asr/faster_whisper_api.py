@@ -42,14 +42,19 @@ def _attach_word_timestamps(
     segments: List[Segment], audio: np.ndarray, language: str
 ) -> None:
     """Populate ``Segment.words`` using the CTC forced aligner (our
-    engine's equivalent of faster-whisper's attention-DTW word stamps)."""
+    engine's equivalent of faster-whisper's attention-DTW word stamps).
+
+    Words partition exactly by segment: each segment's text aligns
+    against its own audio span, and every aligned word attaches to the
+    segment it was aligned under (faster-whisper's contract is exact
+    per-segment word lists — a time-window filter would double- or
+    zero-attach words near segment boundaries)."""
     from ..align.api import load_alignment_model
     from ..align.segmented import align_segments
 
+    spoken = [s for s in segments if s.text.strip()]
     timed = [
-        {"start": s.start, "end": s.end, "text": s.text}
-        for s in segments
-        if s.text.strip()
+        {"start": s.start, "end": s.end, "text": s.text} for s in spoken
     ]
     if not timed:
         return
@@ -59,11 +64,11 @@ def _attach_word_timestamps(
         language=langs_to_iso.get(language, "eng"),
     )
     for seg in segments:
-        seg.words = [
+        seg.words = []
+    for w in words:
+        spoken[w["segment"]].words.append(
             Word(w["start"], w["end"], w["text"], w["score"])
-            for w in words
-            if seg.start - 0.6 <= w["start"] <= seg.end + 0.6
-        ]
+        )
 
 
 class WhisperModel:
@@ -73,11 +78,16 @@ class WhisperModel:
         device: str = "auto",
         device_index: int = 0,
         compute_type: str = "default",
+        mesh=None,
         **_ignored,
     ):
         # ``device`` is accepted for CLI compatibility; placement on TPU
-        # is governed by jax's platform selection and the mesh config.
-        self.engine = WhisperEngine(model_size_or_path, compute_type)
+        # is governed by jax's platform selection and the mesh config
+        # (``mesh``: a Mesh, a "dp=4,tp=2" spec string, None = read
+        # WNT_MESH, False = force single device).
+        self.engine = WhisperEngine(
+            model_size_or_path, compute_type, mesh=mesh
+        )
         self.model_size = model_size_or_path
 
     @property
