@@ -107,6 +107,14 @@ def build_arg_parser(parallel: bool = False) -> argparse.ArgumentParser:
         help="'auto' picks the TPU when present; 'cpu' forces host execution",
     )
     parser.add_argument(
+        "--mesh",
+        dest="mesh",
+        default=None,
+        help="device mesh for the ASR branch, e.g. 'dp=4,tp=2' "
+        "('dp' = all-device data parallelism; defaults to the WNT_MESH "
+        "environment variable; unset = single device)",
+    )
+    parser.add_argument(
         "--domain",
         dest="domain",
         default="telephonic",
@@ -174,10 +182,16 @@ def run_asr(
     language: Optional[str],
     suppress_numerals: bool,
     device: str,
+    mesh=None,
 ) -> AsrResult:
-    """Whisper stage (reference diarize.py:119-151)."""
+    """Whisper stage (reference diarize.py:119-151). ``mesh`` routes
+    the engine onto a device mesh (a Mesh, a 'dp=4,tp=2' spec string,
+    or None to read WNT_MESH): params get TP placements and the window
+    batch shards over dp."""
     compute = mtypes.get(device, "default")
-    model = fw.WhisperModel(model_name, device=device, compute_type=compute)
+    model = fw.WhisperModel(
+        model_name, device=device, compute_type=compute, mesh=mesh
+    )
     pipeline = fw.BatchedInferencePipeline(model)
     audio = fw.decode_audio(vocal_target)
     suppress = (
@@ -345,6 +359,7 @@ def run_sequential(args) -> None:
             language,
             args.suppress_numerals,
             args.device,
+            mesh=getattr(args, "mesh", None),
         )
     with stage_timer("alignment", logger):
         word_timestamps = run_alignment(
@@ -374,9 +389,16 @@ def _merge_and_write(word_timestamps, speaker_ts, language, audio_path):
 
 def run_parallel(args) -> None:
     """The branch-parallel CLI flow (reference diarize_parallel.py):
-    the diarization branch runs concurrently with ASR+alignment."""
-    import threading
+    the diarization branch runs concurrently with ASR+alignment.
 
+    In-process mode maps the two branches onto DISJOINT device core
+    groups (SURVEY P1, the TPU-native replacement for the reference's
+    child process): ``parallel.branch.run_branches`` splits the devices
+    75/25, the ASR branch builds its engine mesh over the large group
+    and the diarization branch pins its computations to the small one
+    via a thread-local default device, so the branches' XLA executions
+    overlap on separate cores. On a single-device host both branches
+    share the chip (the reference's single-GPU degradation)."""
     _apply_device_choice(args.device)
     language = process_language_arg(args.language, args.model_name)
     temp_path = os.path.join(os.getcwd(), "temp_outputs")
@@ -386,7 +408,6 @@ def run_parallel(args) -> None:
 
     audio = fw.decode_audio(vocal_target)
     diar_result: dict = {}
-    diar_error: list = []
 
     use_subprocess = getattr(args, "subprocess_diarization", False)
     if use_subprocess:
@@ -408,35 +429,17 @@ def run_parallel(args) -> None:
             ],
             stderr=subprocess.PIPE,
         )
-    else:
-
-        def diar_branch():
-            try:
-                diar_result["speaker_ts"] = run_diarization(
-                    audio, temp_path, args.domain,
-                    num_speakers=getattr(args, "num_speakers", None),
-                    max_speakers=getattr(args, "max_speakers", None),
-                )
-            except Exception as exc:  # surfaced at join, like rc!=0
-                diar_error.append(exc)
-
-        thread = threading.Thread(
-            target=diar_branch, name="diarization-branch"
-        )
-        thread.start()
-
-    with stage_timer("asr", logger):
-        asr = run_asr(
-            vocal_target, args.model_name, args.batch_size,
-            language, args.suppress_numerals, args.device,
-        )
-    with stage_timer("alignment", logger):
-        word_timestamps = run_alignment(
-            audio, asr.full_transcript, asr.language,
-            args.batch_size, args.device, timed_segments=asr.segments,
-        )
-
-    if use_subprocess:
+        with stage_timer("asr", logger):
+            asr = run_asr(
+                vocal_target, args.model_name, args.batch_size,
+                language, args.suppress_numerals, args.device,
+                mesh=getattr(args, "mesh", None),
+            )
+        with stage_timer("alignment", logger):
+            word_timestamps = run_alignment(
+                audio, asr.full_transcript, asr.language,
+                args.batch_size, args.device, timed_segments=asr.segments,
+            )
         _, stderr = child.communicate()
         if child.returncode != 0:
             raise RuntimeError(
@@ -455,13 +458,55 @@ def run_parallel(args) -> None:
         cleanup(temp_path)
         return
 
-    thread.join()
-    if diar_error:
-        raise RuntimeError(
-            f"Diarization branch failed: {diar_error[0]}"
-        ) from diar_error[0]
+    # in-process: disjoint core groups via parallel.branch (P1); the
+    # first error re-raises at the join, mirroring the reference's
+    # rc!=0 assert (diarize_parallel.py:191-196)
+    import jax
 
-    _merge_and_write(
-        word_timestamps, diar_result["speaker_ts"], asr.language, args.audio
+    from ..parallel.branch import asr_and_diarization
+    from ..parallel.mesh import mesh_from_spec
+
+    def asr_branch(devices):
+        with jax.default_device(devices[0]):
+            mesh_spec = getattr(args, "mesh", None) or os.environ.get(
+                "WNT_MESH", ""
+            )
+            if mesh_spec and not isinstance(mesh_spec, str):
+                mesh = mesh_spec  # already a Mesh (programmatic callers)
+            elif mesh_spec:
+                mesh = mesh_from_spec(mesh_spec, devices)
+            elif len(devices) > 1:
+                mesh = mesh_from_spec("dp", devices)
+            else:
+                mesh = False  # single committed device, no mesh overhead
+            with stage_timer("asr", logger):
+                asr = run_asr(
+                    vocal_target, args.model_name, args.batch_size,
+                    language, args.suppress_numerals, args.device,
+                    mesh=mesh,
+                )
+            with stage_timer("alignment", logger):
+                word_timestamps = run_alignment(
+                    audio, asr.full_transcript, asr.language,
+                    args.batch_size, args.device,
+                    timed_segments=asr.segments,
+                )
+            return asr, word_timestamps
+
+    def diar_branch(devices):
+        # thread-local default device pins the whole diarization
+        # stack's uncommitted arrays/computations to this core group
+        with jax.default_device(devices[0]):
+            with stage_timer("diarization", logger):
+                return run_diarization(
+                    audio, temp_path, args.domain,
+                    num_speakers=getattr(args, "num_speakers", None),
+                    max_speakers=getattr(args, "max_speakers", None),
+                )
+
+    (asr, word_timestamps), speaker_ts = asr_and_diarization(
+        asr_branch, diar_branch
     )
+
+    _merge_and_write(word_timestamps, speaker_ts, asr.language, args.audio)
     cleanup(temp_path)

@@ -39,7 +39,7 @@ from ..ops.mel import (
     log_mel_spectrogram_batch,
 )
 from ..text.languages import LANGUAGES
-from ..text.tokenizer import WhisperTokenizer
+from ..text.tokenizer import WhisperTokenizer, get_suppressed_tokens
 from ..utils import get_logger
 from ..vad import get_speech_timestamps
 from .checkpoint import resolve_model
@@ -137,9 +137,33 @@ class WhisperEngine:
         tokenizer: Optional[WhisperTokenizer] = None,
         device=None,
         kv_bits: Optional[int] = None,
+        mesh=None,
     ):
+        """``mesh`` activates multi-chip execution: a
+        ``jax.sharding.Mesh`` (axes ``dp`` and optionally ``tp``), a
+        spec string for ``parallel.mesh.mesh_from_spec`` ("dp=4,tp=2"),
+        or None to read the ``WNT_MESH`` environment variable (the
+        production configuration surface; empty/unset = single device).
+        Pass ``mesh=False`` to force single-device regardless of env.
+        With a mesh, parameters are placed with megatron-style TP specs
+        (``parallel.sharding``) and the batched path shards its window
+        batch over ``dp``."""
         if params is None or dims is None:
             params, dims = resolve_model(model_name)
+        if mesh is None:
+            mesh_spec = os.environ.get("WNT_MESH", "")
+            mesh = None
+            if mesh_spec:
+                from ..parallel.mesh import mesh_from_spec
+
+                mesh = mesh_from_spec(mesh_spec)
+        elif isinstance(mesh, str):
+            from ..parallel.mesh import mesh_from_spec
+
+            mesh = mesh_from_spec(mesh)
+        elif mesh is False:
+            mesh = None
+        self.mesh = mesh
         if compute_type == "int8":
             from .quantize import quantize_whisper_params
 
@@ -154,7 +178,7 @@ class WhisperEngine:
                 else x,
                 params,
             )
-        if device is not None:
+        if device is not None and mesh is None:
             # commit the weights to one device of the slice (the
             # reference's per-GPU placement, main.py:109-130, done the
             # JAX way: computations follow committed arguments, so the
@@ -208,6 +232,19 @@ class WhisperEngine:
             self._params_stacked = stack_decoder_blocks(self.params)
         else:
             self._params_stacked = None
+        if self.mesh is not None:
+            # place both trees with TP specs (replicated when the mesh
+            # has no tp axis); stacking happens BEFORE sharding so the
+            # stacked leaves get their own explicit placement
+            from ..parallel.sharding import shard_whisper_params
+
+            self.params = shard_whisper_params(
+                self.params, self.mesh, self.dims
+            )
+            if self._params_stacked is not None:
+                self._params_stacked = shard_whisper_params(
+                    self._params_stacked, self.mesh, self.dims
+                )
         self._opts_base = self._make_opts()
 
     def _make_opts(self, **over) -> DecodeOptions:
@@ -457,11 +494,26 @@ class WhisperEngine:
             lang_prob = 1.0
 
         suppress_mask = build_suppress_mask(
-            self.dims.n_vocab, [t for t in suppress_tokens if t >= 0]
+            self.dims.n_vocab,
+            get_suppressed_tokens(self.tokenizer, suppress_tokens),
         )
 
         debug = os.environ.get("WNT_DEBUG_TIMING")
         t0 = _time.time()
+
+        dp_sharding = None
+        if self.mesh is not None and "dp" in self.mesh.axis_names:
+            # window batches shard over the mesh's dp axis (SURVEY P3 /
+            # BASELINE config 5: 30 s decode windows are independent
+            # data-parallel work items); the batch rounds up to a dp
+            # multiple so every chip holds the same window count
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_dp = self.mesh.shape["dp"]
+            batch_size = -(-batch_size // n_dp) * n_dp
+            dp_sharding = NamedSharding(
+                self.mesh, PartitionSpec("dp", None, None)
+            )
 
         # dispatch every batch asynchronously (JAX queues the transfers
         # and computations; batch i+1's H2D overlaps batch i's decode),
@@ -483,6 +535,8 @@ class WhisperEngine:
                 N_SAMPLES,
             )
             mels = log_mel_spectrogram_batch(waves, self.dims.n_mels)
+            if dp_sharding is not None:
+                mels = jax.device_put(mels, dp_sharding)
             feats = self.encode_windows(mels)
             out = self._decode_batch(
                 feats, language, suppress_mask, without_timestamps, 0.0,
@@ -575,7 +629,8 @@ class WhisperEngine:
             lang_prob = 1.0
 
         suppress_mask = build_suppress_mask(
-            self.dims.n_vocab, [t for t in suppress_tokens if t >= 0]
+            self.dims.n_vocab,
+            get_suppressed_tokens(self.tokenizer, suppress_tokens),
         )
 
         content_frames = len(audio) // HOP_LENGTH

@@ -39,6 +39,60 @@ def make_mesh(
     return Mesh(dev_array, tuple(axes.keys()))
 
 
+def mesh_from_spec(
+    spec: str, devices: Optional[Sequence] = None
+) -> Optional[Mesh]:
+    """Build a mesh from a user-facing spec string — the configuration
+    surface behind ``WNT_MESH`` / ``--mesh``.
+
+    Format: comma-separated ``axis[=size]`` entries, e.g. ``dp=4,tp=2``.
+    One axis may omit its size (or use ``auto``/``-1``) to absorb every
+    remaining device: ``dp,tp=2`` on 8 devices is dp=4×tp=2; plain
+    ``dp`` is all-device data parallelism. Sizes must multiply to at
+    most the device count (extra devices are left unused). Returns None
+    for an empty/blank spec.
+    """
+    if not spec or not spec.strip():
+        return None
+    devices = list(devices if devices is not None else jax.devices())
+    axes: Dict[str, int] = {}
+    wildcard = None
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" in part:
+            name, _, size = part.partition("=")
+            name = name.strip()
+            size = size.strip()
+            if size in ("auto", "-1", ""):
+                axes[name] = -1
+            else:
+                axes[name] = int(size)
+        else:
+            axes[part] = -1
+        if axes[list(axes)[-1]] == -1:
+            if wildcard is not None:
+                raise ValueError(
+                    f"mesh spec {spec!r}: only one axis may omit its size"
+                )
+            wildcard = list(axes)[-1]
+    fixed = int(np.prod([s for s in axes.values() if s > 0])) or 1
+    if wildcard is not None:
+        if len(devices) % fixed:
+            raise ValueError(
+                f"mesh spec {spec!r}: {fixed} fixed-size slots do not "
+                f"divide {len(devices)} devices"
+            )
+        axes[wildcard] = len(devices) // fixed
+    total = int(np.prod(list(axes.values())))
+    if total > len(devices):
+        raise ValueError(
+            f"mesh spec {spec!r} needs {total} devices, have {len(devices)}"
+        )
+    return make_mesh(axes, devices[:total])
+
+
 def split_core_groups(
     fractions: Sequence[float],
     devices: Optional[Sequence] = None,

@@ -7,74 +7,86 @@ block needs exactly one all-reduce per sublayer — inserted by XLA from
 these annotations, riding ICI. Embeddings, layer norms, convs and
 biases on reduced dims stay replicated. The batch axis of activations
 shards over ``dp``.
+
+Specs are derived from the parameter tree's key paths, so one rule set
+covers every layout the engine actually runs: the canonical float tree,
+the int8 weight-quantized tree (``w_q``/``w_qm`` + per-out-channel
+``scale``), and the layer-stacked decoder (``blocks_stacked`` leaves
+carry a leading [L] axis that stays replicated — the decode scan walks
+it locally on every chip).
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.whisper import WhisperDims
+# leaves belonging to these projection dicts shard their OUTPUT feature
+# dim over tp (column-parallel)...
+_COL_PARALLEL = ("q", "k", "v", "mlp_in")
+# ...and these shard their INPUT dim (row-parallel): one psum per
+# sublayer closes the pair
+_ROW_PARALLEL = ("o", "mlp_out")
+_WEIGHT_LEAVES = ("w", "w_q", "w_qm")
 
 
-def _attn_specs(tp: str):
-    return {
-        "q": {"w": P(None, tp), "b": P(tp)},
-        "k": {"w": P(None, tp)},  # k has no bias in whisper
-        "v": {"w": P(None, tp), "b": P(tp)},
-        "o": {"w": P(tp, None), "b": P(None)},
-    }
+def _path_names(path) -> list:
+    names = []
+    for entry in path:
+        key = getattr(entry, "key", None)
+        if key is not None:
+            names.append(key)
+    return names
 
 
-def _block_specs(tp: str, cross: bool):
-    spec = {
-        "ln1": {"g": P(None), "b": P(None)},
-        "attn": _attn_specs(tp),
-        "ln2": {"g": P(None), "b": P(None)},
-        "mlp_in": {"w": P(None, tp), "b": P(tp)},
-        "mlp_out": {"w": P(tp, None), "b": P(None)},
-    }
-    if cross:
-        spec["ln_cross"] = {"g": P(None), "b": P(None)}
-        spec["cross_attn"] = _attn_specs(tp)
-    return spec
+def _spec_for(path, leaf, tp: Optional[str]) -> P:
+    """PartitionSpec for one parameter leaf, by its key path."""
+    names = _path_names(path)
+    if tp is None or not names:
+        return P()
+    leaf_name = names[-1]
+    parent = names[-2] if len(names) >= 2 else None
+    stacked = "blocks_stacked" in names
+    prefix = (None,) if stacked else ()
+
+    if parent in _COL_PARALLEL:
+        if leaf_name in _WEIGHT_LEAVES:
+            return P(*prefix, None, tp)
+        if leaf_name in ("b", "scale"):
+            return P(*prefix, tp)
+    elif parent in _ROW_PARALLEL:
+        if leaf_name in _WEIGHT_LEAVES:
+            return P(*prefix, tp, None)
+        return P()  # bias/scale live on the replicated output dim
+    return P()  # embeddings, norms, convs, out_proj, metadata
 
 
-def whisper_param_specs(dims: WhisperDims, tp: str = "tp") -> Any:
-    """PartitionSpec tree matching ``init_whisper_params``' layout."""
-    # k bias: our attn dict has no 'b' for k — spec mirrors exactly
-    encoder = {
-        # the two prologue convs are tiny; replicate to avoid resharding
-        # between conv output and the first attention block
-        "conv1": {"w": P(None, None, None), "b": P(None)},
-        "conv2": {"w": P(None, None, None), "b": P(None)},
-        "pos": P(None, None),
-        "blocks": [
-            _block_specs(tp, cross=False) for _ in range(dims.n_audio_layer)
-        ],
-        "ln_post": {"g": P(None), "b": P(None)},
-    }
-    decoder = {
-        "tok_emb": P(None, None),
-        "pos_emb": P(None, None),
-        "blocks": [
-            _block_specs(tp, cross=True) for _ in range(dims.n_text_layer)
-        ],
-        "ln": {"g": P(None), "b": P(None)},
-    }
-    return {"encoder": encoder, "decoder": decoder}
+def whisper_param_specs(
+    params: Any, dims=None, tp: Optional[str] = "tp"
+) -> Any:
+    """PartitionSpec tree matching ``params``' exact layout (float,
+    int8-quantized, stacked, or any mix). ``dims`` is accepted for
+    backward compatibility and unused — the tree's own key paths carry
+    everything the rules need. ``tp=None`` replicates every leaf."""
+    del dims
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(path, leaf, tp), params
+    )
 
 
-def shard_whisper_params(params: Any, mesh: Mesh, dims: WhisperDims) -> Any:
+def shard_whisper_params(
+    params: Any, mesh: Mesh, dims=None, tp: str = "tp"
+) -> Any:
     """Place a param tree onto the mesh with TP shardings.
 
-    The spec tree leads the tree_map (with PartitionSpec as its leaf
-    type) because PartitionSpec is itself a tuple and would otherwise be
-    flattened as a pytree.
-    """
-    specs = whisper_param_specs(dims)
+    Works for the canonical float tree, the int8-quantized tree and the
+    layer-stacked decoder tree. When the mesh has no ``tp`` axis (or
+    tp=1), every leaf is replicated across the mesh — the dp-sharded
+    batch then runs fully data-parallel with zero collectives."""
+    has_tp = tp in mesh.axis_names and mesh.shape[tp] > 1
+    specs = whisper_param_specs(params, tp=tp if has_tp else None)
     return jax.tree_util.tree_map(
         lambda s, x: jax.device_put(x, NamedSharding(mesh, s)),
         specs,
