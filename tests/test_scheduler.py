@@ -128,3 +128,47 @@ def test_scheduler_error_propagates(engine):
     finally:
         engine._decode_batch = original
         sched.shutdown()
+
+
+def test_scheduler_two_tier_pad_target(engine, monkeypatch):
+    """Two-tier policy (VERDICT r3 ask #4): partial batches pad to
+    small buckets only while the scheduler is idle; a full batch or a
+    queue backlog flips it to full-batch padding for load_cooldown_s
+    (so saturated runs keep one hot executable), then decays back."""
+    sched = WindowScheduler(engine, batch_size=8, load_cooldown_s=0.2)
+    try:
+        assert sched.bucket_policy == "two-tier"
+        # idle: smallest bucket
+        assert not sched._loaded(n_collected=1)
+        assert sched._pad_target(1, loaded=False) == 1
+        assert sched._pad_target(3, loaded=False) == 4
+        # a full batch marks the scheduler loaded -> full padding
+        assert sched._loaded(n_collected=8)
+        assert sched._pad_target(1, loaded=True) == 8
+        assert sched._pad_target(5, loaded=True) == 8
+        # the loaded state decays after the cooldown
+        import time
+
+        time.sleep(0.25)
+        assert not sched._loaded(n_collected=1)
+        assert sched._pad_target(1, sched._loaded(1)) == 1
+        # a queue backlog also marks loaded
+        sched._queue.put(object())
+        assert sched._loaded(n_collected=1)
+        sched._queue.get()
+    finally:
+        sched.shutdown()
+
+    # policy overrides
+    monkeypatch.setenv("WNT_SERVING_BUCKET_POLICY", "never")
+    sched = WindowScheduler(engine, batch_size=8)
+    try:
+        assert sched._pad_target(1, loaded=False) == 8
+    finally:
+        sched.shutdown()
+    monkeypatch.setenv("WNT_SERVING_BUCKET_POLICY", "always")
+    sched = WindowScheduler(engine, batch_size=8, load_cooldown_s=60.0)
+    try:
+        assert sched._pad_target(1, loaded=True) == 1
+    finally:
+        sched.shutdown()

@@ -60,13 +60,32 @@ class WindowScheduler:
         without_timestamps: bool = True,
         min_new_tokens: int = 0,
         bucket_sizes: Optional[List[int]] = None,
+        bucket_policy: str = "two-tier",
+        load_cooldown_s: float = 2.0,
     ):
         """``bucket_sizes`` overrides the power-of-two pad targets
         (ascending; batch_size is appended if absent). A single-entry
-        list ``[batch_size]`` recovers full-batch padding — the
-        throughput-maximal configuration (~8% faster on saturated hour
-        workloads, 6.4× slower lone-request latency). Env override:
-        ``WNT_SERVING_BUCKETS`` as comma-separated ints."""
+        list ``[batch_size]`` recovers full-batch padding. Env
+        override: ``WNT_SERVING_BUCKETS`` as comma-separated ints.
+
+        ``bucket_policy`` decides WHEN a partial batch pads to a small
+        bucket instead of the full batch (measured on chip,
+        BASELINE.md: full-batch padding is ~8% faster on saturated
+        hour workloads; bucketed padding is 6.4× lower lone-request
+        latency):
+
+        - ``"two-tier"`` (default): pad to a small bucket only while
+          the scheduler is idle — no full batch dispatched and no
+          queue backlog seen within the last ``load_cooldown_s``
+          seconds. A lone request on a quiet worker gets the bucket-1
+          decode; a saturated run keeps every dispatch (including
+          mid-run stragglers and the drain tail) on the one hot
+          full-batch executable.
+        - ``"always"``: every partial batch buckets (the round-3
+          behavior — latency-optimal, ~8% hour-throughput cost).
+        - ``"never"``: always pad to the full batch.
+
+        Env override: ``WNT_SERVING_BUCKET_POLICY``."""
         import os
 
         self.engine = engine
@@ -88,6 +107,15 @@ class WindowScheduler:
             self._bucket_list = sizes
         else:
             self._bucket_list = None
+        policy = os.environ.get("WNT_SERVING_BUCKET_POLICY", bucket_policy)
+        if policy not in ("two-tier", "always", "never"):
+            logger.warning(
+                "unknown bucket policy %r; using 'two-tier'", policy
+            )
+            policy = "two-tier"
+        self.bucket_policy = policy
+        self.load_cooldown_s = load_cooldown_s
+        self._loaded_until = 0.0  # monotonic deadline of the loaded state
         self.max_wait_s = max_wait_s
         self.beam_size = beam_size
         self.max_new_tokens = max_new_tokens
@@ -100,7 +128,15 @@ class WindowScheduler:
         # futures then resolve to List[Segment] instead of one Segment
         self.without_timestamps = without_timestamps
         self._queue: "queue.Queue[_WindowItem]" = queue.Queue()
-        self._suppress = build_suppress_mask(engine.dims.n_vocab, [])
+        # serving uses the engines' default suppression (the reference
+        # handler runs openai-whisper defaults, main.py:381-391:
+        # suppress_tokens="-1" → non-speech list + specials)
+        from ..text.tokenizer import get_suppressed_tokens
+
+        self._suppress = build_suppress_mask(
+            engine.dims.n_vocab,
+            get_suppressed_tokens(engine.tokenizer, (-1,)),
+        )
         self._stop = threading.Event()
         self._worker = threading.Thread(
             target=self._run, name="window-scheduler", daemon=True
@@ -208,30 +244,49 @@ class WindowScheduler:
                 break
         return items
 
+    def _loaded(self, n_collected: int) -> bool:
+        """Two-tier load detector: a full batch or a queue backlog
+        marks the scheduler loaded for ``load_cooldown_s`` seconds, so
+        stragglers and the drain tail of a saturated run stay on the
+        full-batch executable instead of fragmenting across bucket
+        shapes."""
+        import time as _time
+
+        now = _time.monotonic()
+        if n_collected >= self.batch_size or self._queue.qsize() > 0:
+            self._loaded_until = now + self.load_cooldown_s
+        return now < self._loaded_until
+
     def _run(self) -> None:
         while not self._stop.is_set():
             items = self._collect_batch()
             if not items:
                 continue
             try:
-                self._process(items)
+                self._process(items, loaded=self._loaded(len(items)))
             except Exception as exc:  # route the failure to every waiter
                 logger.error("scheduler batch failed: %s", exc)
                 for item in items:
                     if not item.future.done():
                         item.future.set_exception(exc)
 
-    def _process(self, items: List[_WindowItem]) -> None:
+    def _pad_target(self, n: int, loaded: bool) -> int:
+        if self.bucket_policy == "never":
+            return self.batch_size
+        if self.bucket_policy == "two-tier" and loaded:
+            return self.batch_size
+        return self._bucket_for(n)
+
+    def _process(self, items: List[_WindowItem], loaded: bool = False) -> None:
         # group by language (prompt differs); usually one group
         by_lang = {}
         for item in items:
             by_lang.setdefault(item.language, []).append(item)
         for language, group in by_lang.items():
-            # pad to the smallest power-of-two bucket, not the full
-            # batch: a lone request then pays a 1-window decode
-            # (~4x lower latency at batch 16) while full batches are
-            # unchanged; each bucket shape compiles once (see warmup)
-            bucket = self._bucket_for(len(group))
+            # pad to the smallest power-of-two bucket when idle: a lone
+            # request then pays a 1-window decode (~6.4x lower latency
+            # at batch 16); under load, pad full (see bucket_policy)
+            bucket = self._pad_target(len(group), loaded)
             waves = np.zeros((bucket, N_SAMPLES), np.float32)
             for i, item in enumerate(group):
                 waves[i] = item.audio
