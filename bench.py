@@ -124,6 +124,16 @@ def main() -> None:
         "byte (ops/cross_decode.py), halving the decode loop's "
         "dominant HBM stream again",
     )
+    ap.add_argument(
+        "--refresh", type=float, default=1.0,
+        help="streaming mode: min seconds of new audio between decode "
+        "refreshes (commit latency floors at ~agreement*refresh-chunk)",
+    )
+    ap.add_argument(
+        "--agreement", type=int, default=2,
+        help="streaming mode: LocalAgreement window (2 = published "
+        "default; 1 commits every refresh immediately)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -178,7 +188,10 @@ def main() -> None:
         return
     if args.mode == "streaming":
         try:
-            run_streaming_bench(engine, audio, log)
+            run_streaming_bench(
+                engine, audio, log,
+                min_refresh_s=args.refresh, agreement_n=args.agreement,
+            )
         finally:
             engine.unload()
         return
@@ -432,7 +445,10 @@ def run_serving_bench(engine, audio, audio_seconds, runs, log):
         sched.shutdown()
 
 
-def run_streaming_bench(engine, audio, log, feed_chunk_s=0.5):
+def run_streaming_bench(
+    engine, audio, log, feed_chunk_s=0.5,
+    min_refresh_s=1.0, agreement_n=2,
+):
     """Real-time streaming simulation (engine/streaming.py): audio is
     fed in ``feed_chunk_s`` chunks at real time (sleeping out the
     remainder of each chunk after processing); reports p50/p95
@@ -484,16 +500,22 @@ def run_streaming_bench(engine, audio, log, feed_chunk_s=0.5):
             for i in range(first, last)
         ]
 
+    log(
+        f"streaming policy: refresh {min_refresh_s} s, "
+        f"LocalAgreement-{agreement_n}"
+    )
     # warmup: compile the refresh decode outside the timed stream
     st = StreamingTranscriber(
-        transcribe_fn=bench_transcribe, min_refresh_s=2.0
+        transcribe_fn=bench_transcribe,
+        min_refresh_s=min_refresh_s, agreement_n=agreement_n,
     )
     holder.append(st)
     st.push(np.zeros(3 * 16000, np.float32))
     st.flush()
 
     st = StreamingTranscriber(
-        transcribe_fn=bench_transcribe, min_refresh_s=2.0
+        transcribe_fn=bench_transcribe,
+        min_refresh_s=min_refresh_s, agreement_n=agreement_n,
     )
     holder[0] = st
     t_start = time.time()
@@ -543,6 +565,8 @@ def run_streaming_bench(engine, audio, log, feed_chunk_s=0.5):
             {
                 "detail": {
                     "mode": "streaming",
+                    "min_refresh_s": min_refresh_s,
+                    "agreement_n": agreement_n,
                     "audio_seconds": len(audio) / 16000.0,
                     "words_committed": int(len(lat)),
                     "p50_s": round(p50, 2),

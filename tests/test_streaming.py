@@ -118,3 +118,45 @@ def test_streaming_with_real_engine_smoke():
     for w in st.committed:
         assert isinstance(w, CommittedWord)
         assert w.end >= w.start >= 0.0
+
+
+def test_agreement_n_one_commits_immediately():
+    """agreement_n=1 (latency-optimal): every refresh's words commit
+    without waiting for a second agreeing hypothesis."""
+    asr = _ScriptedASR({
+        1.0: [(0.0, 1.0, "hello world")],
+        2.0: [(0.0, 2.0, "hello world how")],
+    })
+    st = StreamingTranscriber(
+        transcribe_fn=asr, min_refresh_s=1.0, agreement_n=1
+    )
+    out1 = _push_seconds(st, 1.0)
+    assert [w.word for w in out1] == ["hello", "world"]
+    out2 = _push_seconds(st, 1.0)
+    assert [w.word for w in out2] == ["how"]
+    assert st.text == "hello world how"
+
+
+def test_agreement_n_three_needs_three_hypotheses():
+    """agreement_n=3: a word commits only once THREE consecutive
+    hypotheses agree on it."""
+    asr = _ScriptedASR({
+        1.0: [(0.0, 1.0, "hello wor")],
+        2.0: [(0.0, 2.0, "hello world")],
+        3.0: [(0.0, 3.0, "hello world how")],
+        4.0: [(0.0, 4.0, "hello world how are")],
+    })
+    st = StreamingTranscriber(
+        transcribe_fn=asr, min_refresh_s=1.0, agreement_n=3
+    )
+    assert _push_seconds(st, 1.0) == []
+    assert _push_seconds(st, 1.0) == []  # "wor"/"world" broke the run
+    out3 = _push_seconds(st, 1.0)
+    assert [w.word for w in out3] == ["hello"]  # 3 consecutive agree
+    out4 = _push_seconds(st, 1.0)
+    assert [w.word for w in out4] == ["world"]
+
+
+def test_agreement_n_validation():
+    with pytest.raises(ValueError, match="agreement_n"):
+        StreamingTranscriber(transcribe_fn=lambda b: [], agreement_n=0)

@@ -78,20 +78,33 @@ class StreamingTranscriber:
         language: Optional[str] = None,
         beam_size: int = 1,
         min_refresh_s: float = 1.0,
+        agreement_n: int = 2,
         transcribe_fn: Optional[Callable] = None,
     ):
+        """``min_refresh_s`` sets how much new audio accumulates before
+        a re-transcription (the latency/duty-cycle tradeoff: commit
+        latency floors at ~agreement_n×refresh − chunk).
+        ``agreement_n`` is the LocalAgreement window: a word commits
+        once the last ``n`` consecutive hypotheses agree on it (n=2 is
+        the published LocalAgreement-2 default; n=1 commits every
+        refresh's words immediately — latency-optimal, revision-prone
+        on unstable tails)."""
         if engine is None and transcribe_fn is None:
             raise ValueError("need an engine or a transcribe_fn")
+        if agreement_n < 1:
+            raise ValueError("agreement_n must be >= 1")
         self.engine = engine
         self.language = language
         self.beam_size = beam_size
         self.min_refresh_s = min_refresh_s
+        self.agreement_n = agreement_n
         self._transcribe_fn = transcribe_fn
 
         self._buffer = np.zeros((0,), np.float32)
         self._buffer_offset = 0.0  # stream seconds trimmed off the front
         self._pending = 0  # samples since the last refresh
-        self._prev_hyp: Optional[List[Tuple[str, float, float]]] = None
+        # the previous agreement_n - 1 hypotheses (newest last)
+        self._hyp_history: List[List[Tuple[str, float, float]]] = []
         self.committed: List[CommittedWord] = []
 
     # -- internals -----------------------------------------------------------
@@ -116,10 +129,12 @@ class StreamingTranscriber:
     def _commit_agreed(
         self, hyp: List[Tuple[str, float, float]]
     ) -> List[CommittedWord]:
-        """LocalAgreement-2: commit the longest common prefix of the
-        previous and current hypotheses beyond the committed frontier."""
+        """LocalAgreement-n: commit the longest prefix (beyond the
+        committed frontier) on which the last ``agreement_n``
+        consecutive hypotheses agree (n=2 → previous vs current, the
+        published LocalAgreement-2; n=1 → commit immediately)."""
         newly: List[CommittedWord] = []
-        if self._prev_hyp is not None:
+        if len(self._hyp_history) >= self.agreement_n - 1:
             # strict frontier: a re-transcription can jitter word times
             # slightly, and re-including a committed word would commit
             # it twice — dropping a marginally-shifted word is the
@@ -127,13 +142,25 @@ class StreamingTranscriber:
             frontier = (
                 self.committed[-1].end if self.committed else -1e9
             )
-            prev = [h for h in self._prev_hyp if h[1] >= frontier]
             cur = [h for h in hyp if h[1] >= frontier]
-            for (pw, _, _), (cw, cs, ce) in zip(prev, cur):
-                if _norm(pw) != _norm(cw) or not _norm(cw):
+            older = [
+                [h for h in past if h[1] >= frontier]
+                for past in self._hyp_history[
+                    len(self._hyp_history) - (self.agreement_n - 1):
+                ]
+            ]
+            for i, (cw, cs, ce) in enumerate(cur):
+                if not _norm(cw):
+                    break
+                if any(
+                    i >= len(past) or _norm(past[i][0]) != _norm(cw)
+                    for past in older
+                ):
                     break
                 newly.append(CommittedWord(cw, cs, ce))
-        self._prev_hyp = hyp
+        self._hyp_history.append(hyp)
+        if len(self._hyp_history) > max(self.agreement_n - 1, 1):
+            self._hyp_history.pop(0)
         if newly:
             self.committed.extend(newly)
         return newly
@@ -157,9 +184,10 @@ class StreamingTranscriber:
         self._buffer = self._buffer[n:]
         self._buffer_offset += n / SAMPLE_RATE
         # hypotheses before the cut are no longer comparable
-        if self._prev_hyp is not None:
-            self._prev_hyp = [
-                h for h in self._prev_hyp if h[1] >= self._buffer_offset
+        if self._hyp_history:
+            self._hyp_history = [
+                [h for h in past if h[1] >= self._buffer_offset]
+                for past in self._hyp_history
             ]
 
     # -- public --------------------------------------------------------------

@@ -334,6 +334,13 @@ async def stream_route(request) -> "web.StreamResponse":
     committed word as the LocalAgreement policy stabilizes it, then a
     final ``{"done": true, "text": ...}``. Decode refreshes run in a
     worker thread so the event loop keeps draining the socket.
+
+    Latency policy knobs (measured tradeoff in BASELINE.md):
+    ``?refresh=<seconds>`` sets the minimum audio between decode
+    refreshes (default 1.0; commit latency floors at
+    ~agreement×refresh − chunk) and ``?agreement=<n>`` the
+    LocalAgreement window (default 2; 1 commits every refresh's words
+    immediately).
     """
     from aiohttp import web
 
@@ -349,6 +356,16 @@ async def stream_route(request) -> "web.StreamResponse":
         )
     itemsize = 2 if fmt == "s16" else 4
     language = request.query.get("language")
+    try:
+        refresh = float(request.query.get("refresh", 1.0))
+        agreement = int(request.query.get("agreement", 2))
+        if refresh <= 0 or agreement < 1:
+            raise ValueError
+    except ValueError:
+        return web.json_response(
+            {"error": "refresh must be > 0 seconds, agreement >= 1"},
+            status=400,
+        )
 
     resp = web.StreamResponse(
         headers={"Content-Type": "application/x-ndjson"}
@@ -356,7 +373,8 @@ async def stream_route(request) -> "web.StreamResponse":
     await resp.prepare(request)
 
     st = StreamingTranscriber(
-        whisper_model.engine, language=language, min_refresh_s=2.0
+        whisper_model.engine, language=language,
+        min_refresh_s=refresh, agreement_n=agreement,
     )
     loop = asyncio.get_running_loop()
 
