@@ -74,3 +74,59 @@ def test_stacked_tree_shapes(setup):
     assert "blocks" not in stacked["decoder"]
     # encoder untouched
     assert stacked["encoder"] is params["encoder"]
+
+
+def test_prefix_buckets_cross_128_parity():
+    """cache_len > 128 activates the lax.switch prefix buckets in the
+    stacked decode (whisper_stacked._self_attention_prefix); a decode
+    running past position 128 must produce exactly the tokens of the
+    unrolled decoder (which always attends over the full window) —
+    greedy AND beam, with n_vocab large enough for whisper's special
+    ids so min_new_tokens EOT-suppression keeps the loop running
+    across the bucket boundary."""
+    from whisper_nemo_tpu.engine.decode import (
+        DecodeOptions,
+        beam_decode,
+        greedy_decode,
+    )
+
+    dims = WhisperDims(
+        n_audio_ctx=32, n_audio_layer=1, n_text_layer=2,
+        n_audio_state=64, n_text_state=64, n_audio_head=4, n_text_head=4,
+        n_vocab=51865, n_text_ctx=384,
+    )
+    params = init_whisper_params(jax.random.PRNGKey(1), dims)
+    mel = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 80, 64)), jnp.float32
+    )
+    audio = encode(params, mel, dims)
+    stacked = stack_decoder_blocks(params)
+
+    prompt = jnp.tile(
+        jnp.asarray([[50258, 50259, 50359, 50363]], jnp.int32), (2, 1)
+    )
+    suppress = jnp.zeros((dims.n_vocab,), jnp.float32)
+    # 140 generated tokens -> cache_len 256, positions cross the
+    # 128-boundary mid-decode (bucket switch 128 -> 256)
+    opts = DecodeOptions(max_new_tokens=140, min_new_tokens=136)
+
+    tok_u, len_u, lp_u, _ = greedy_decode(
+        params, audio, prompt, suppress, dims, opts, n_prompt=4
+    )
+    tok_s, len_s, lp_s, _ = greedy_decode(
+        stacked, audio, prompt, suppress, dims, opts, n_prompt=4
+    )
+    assert int(len_u[0]) > 128 - 4  # the decode actually crossed 128
+    np.testing.assert_array_equal(np.asarray(tok_u), np.asarray(tok_s))
+    np.testing.assert_array_equal(np.asarray(len_u), np.asarray(len_s))
+
+    btok_u, blen_u, *_ = beam_decode(
+        params, audio, prompt, suppress, dims, opts, n_prompt=4,
+        beam_size=2,
+    )
+    btok_s, blen_s, *_ = beam_decode(
+        stacked, audio, prompt, suppress, dims, opts, n_prompt=4,
+        beam_size=2,
+    )
+    np.testing.assert_array_equal(np.asarray(btok_u), np.asarray(btok_s))
+    np.testing.assert_array_equal(np.asarray(blen_u), np.asarray(blen_s))

@@ -16,6 +16,8 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ..ops.attention import attention_kt, attention_kt_ancestry
 from .whisper import (
     WhisperDims,
@@ -277,6 +279,47 @@ def _cross_prefill_declayout(qc, ckv, cross_len: int, bits: int = 8):
     return cross
 
 
+def _self_attention_prefix(q, k_l, v_l, mask, anc, pos):
+    """Self-attention over the cache restricted to the 128-position
+    block prefix that contains ``pos``.
+
+    The decode loop's static shapes force every step to touch the full
+    [.., S] cache window even though only positions ≤ pos are live; at
+    cache_len > 128 a ``lax.switch`` over 128-aligned prefix lengths
+    cuts both the cache DMA and the ancestry contraction's [.., S]
+    intermediates to the live prefix (128 is the TPU lane tile — finer
+    buckets save nothing). At cache_len == 128 (the bench/serving
+    shapes, max_new ≤ 124) this is the identity. Exact: the mask
+    already zeroed every position beyond ``pos``, so dropping masked
+    columns leaves the softmax unchanged. Kill switch:
+    ``WNT_SELF_PREFIX_BUCKETS=0``.
+    """
+    s = k_l.shape[-1]
+    buckets = list(range(128, s, 128)) + [s]
+    if len(buckets) == 1 or os.environ.get(
+        "WNT_SELF_PREFIX_BUCKETS", "1"
+    ) == "0":
+        if anc is None:
+            return attention_kt(q, k_l, v_l, mask)
+        return attention_kt_ancestry(q, k_l, v_l, anc, mask)
+
+    def make(blen):
+        def branch(q, k_l, v_l, mask):
+            kb, vb, mb = (
+                k_l[..., :blen], v_l[..., :blen], mask[..., :blen]
+            )
+            if anc is None:
+                return attention_kt(q, kb, vb, mb)
+            return attention_kt_ancestry(q, kb, vb, anc[..., :blen], mb)
+
+        return branch
+
+    idx = jnp.minimum(pos // 128, len(buckets) - 1)
+    return jax.lax.switch(
+        idx, [make(blen) for blen in buckets], q, k_l, v_l, mask
+    )
+
+
 def decode_step_stacked(
     params: Dict[str, Any],  # stacked form (stack_decoder_blocks output)
     token: jnp.ndarray,  # [B]
@@ -372,10 +415,7 @@ def decode_step_stacked(
             v_l = jax.lax.dynamic_slice(
                 cache_v, (li, 0, 0, 0, 0), (1,) + cache_v.shape[1:]
             )[0]
-            if anc is None:
-                attn = attention_kt(q, k_l, v_l, mask)
-            else:
-                attn = attention_kt_ancestry(q, k_l, v_l, anc, mask)
+            attn = _self_attention_prefix(q, k_l, v_l, mask, anc, pos)
             attn = attn.reshape(b, 1, -1)
             x = x + _linear(blk["attn"]["o"], attn)
 
@@ -426,10 +466,7 @@ def decode_step_stacked(
             kv_v, v_new.transpose(0, 2, 3, 1).astype(kv_v.dtype),
             (0, 0, 0, pos),
         )
-        if anc is None:
-            attn = attention_kt(q, k_cache, v_cache, mask)
-        else:
-            attn = attention_kt_ancestry(q, k_cache, v_cache, anc, mask)
+        attn = _self_attention_prefix(q, k_cache, v_cache, mask, anc, pos)
         attn = attn.reshape(b, 1, -1)
         x = x + _linear(blk["attn"]["o"], attn)
 
