@@ -121,3 +121,47 @@ def test_attention_kt_ancestry_matches_gathered_cache(with_mask):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(want), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("ancestry", [False, True])
+def test_attention_kt_int8_scales_match_dequantized(ancestry):
+    """attention_kt / attention_kt_ancestry with an int8 cache +
+    per-position scales must equal the same attention over the
+    explicitly dequantized cache (the scales fold outside the cache
+    reads: K's into the logits column, V's into the weights)."""
+    from whisper_nemo_tpu.models.whisper_stacked import quantize_kv_t
+    from whisper_nemo_tpu.ops.attention import (
+        attention_kt,
+        attention_kt_ancestry,
+    )
+
+    rng = np.random.default_rng(0)
+    b, k, h, d, s = 2, 3, 4, 8, 16
+    bk = b * k
+    q = jnp.asarray(rng.standard_normal((bk, 1, h, d)), jnp.float32)
+    k_t = jnp.asarray(rng.standard_normal((bk, h, d, s)), jnp.float32)
+    v_t = jnp.asarray(rng.standard_normal((bk, h, d, s)), jnp.float32)
+    mask = jnp.where(
+        jnp.arange(s)[None, None, None, :] < 10, 0.0, -jnp.inf
+    ).astype(jnp.float32)
+
+    k_q, k_sc = quantize_kv_t(k_t)
+    v_q, v_sc = quantize_kv_t(v_t)
+    k_deq = k_q.astype(jnp.float32) * k_sc[:, :, None, :]
+    v_deq = v_q.astype(jnp.float32) * v_sc[:, :, None, :]
+
+    # the quantization itself is sound: ≤ scale/2 rounding error
+    np.testing.assert_allclose(
+        np.asarray(k_deq), np.asarray(k_t), atol=float(k_sc.max()) / 1.9
+    )
+
+    if ancestry:
+        anc = jnp.asarray(rng.integers(0, k, (b, k, s)), jnp.int32)
+        got = attention_kt_ancestry(q, k_q, v_q, anc, mask, k_sc, v_sc)
+        want = attention_kt_ancestry(q, k_deq, v_deq, anc, mask)
+    else:
+        got = attention_kt(q, k_q, v_q, mask, k_sc, v_sc)
+        want = attention_kt(q, k_deq, v_deq, mask)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )

@@ -130,3 +130,38 @@ def test_prefix_buckets_cross_128_parity():
     )
     np.testing.assert_array_equal(np.asarray(btok_u), np.asarray(btok_s))
     np.testing.assert_array_equal(np.asarray(blen_u), np.asarray(blen_s))
+
+
+@pytest.mark.parametrize("beam", [False, True])
+def test_self_kv_int8_decode_close_to_float(setup, beam):
+    """The int8 self-KV cache (WNT_SELF_KV_INT8) wires through prefill
+    + decode steps (greedy mask path and beam ancestry path) and stays
+    numerically close to the float cache — per-position int8 over D
+    carries ~0.4% relative error, so decode logits agree to ~1e-2."""
+    from whisper_nemo_tpu.engine.decode import DecodeOptions
+
+    params, dims, audio = setup
+    stacked = stack_decoder_blocks(params)
+    prompt = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+    suppress = jnp.zeros((dims.n_vocab,), jnp.float32)
+    opts = DecodeOptions(
+        max_new_tokens=8, min_new_tokens=8, eot=0, sot=1, no_speech=2,
+        no_timestamps=3, timestamp_begin=4, blank_token=5,
+    )
+    from whisper_nemo_tpu.engine.decode import beam_decode, greedy_decode
+
+    fn = beam_decode if beam else greedy_decode
+    kw = {"beam_size": 2} if beam else {}
+    tok_f, len_f, lp_f, _ = fn(
+        stacked, audio, prompt, suppress, dims, opts, n_prompt=2, **kw
+    )
+    tok_q, len_q, lp_q, _ = fn(
+        stacked, audio, prompt, suppress, dims, opts, n_prompt=2,
+        self_kv_int8=True, **kw
+    )
+    assert tok_q.shape == tok_f.shape
+    assert np.all(np.asarray(len_q) == 8)
+    # cumulative logprob of the full rollout within quantization noise
+    np.testing.assert_allclose(
+        np.asarray(lp_q), np.asarray(lp_f), rtol=0.05, atol=0.05
+    )

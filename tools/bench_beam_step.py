@@ -309,18 +309,38 @@ def main():
     variants = args.variants.split(",")
     results = {}
     for name in variants:
-        if name == "prodbeam":
-            fn = lambda: beam_decode(
-                params, feats, prompt, no_suppress, dims, opts,
-                n_prompt=n_prompt, beam_size=k, dtype=dtype,
-                kv_int8=engine.kv_int8, kv_bits=engine.kv_bits,
-            )[0]
-        elif name == "prodgreedy":
-            fn = lambda: greedy_decode(
-                params, feats, prompt, no_suppress, dims, opts,
-                n_prompt=n_prompt, dtype=dtype,
-                kv_int8=engine.kv_int8, kv_bits=engine.kv_bits,
-            )[0]
+        if name in ("prodbeam", "prodbeamq", "prodbeam_nobuckets"):
+            prod_opts = opts
+            if name == "prodbeam_nobuckets":
+                import dataclasses
+
+                prod_opts = dataclasses.replace(
+                    opts, self_prefix_buckets=False
+                )
+            fn = lambda prod_opts=prod_opts, q=(name == "prodbeamq"): (
+                beam_decode(
+                    params, feats, prompt, no_suppress, dims, prod_opts,
+                    n_prompt=n_prompt, beam_size=k, dtype=dtype,
+                    kv_int8=engine.kv_int8, kv_bits=engine.kv_bits,
+                    self_kv_int8=q,
+                )[0]
+            )
+        elif name in ("prodgreedy", "prodgreedyq", "prodgreedy_nobuckets"):
+            prod_opts = opts
+            if name == "prodgreedy_nobuckets":
+                import dataclasses
+
+                prod_opts = dataclasses.replace(
+                    opts, self_prefix_buckets=False
+                )
+            fn = lambda prod_opts=prod_opts, q=(name == "prodgreedyq"): (
+                greedy_decode(
+                    params, feats, prompt, no_suppress, dims, prod_opts,
+                    n_prompt=n_prompt, dtype=dtype,
+                    kv_int8=engine.kv_int8, kv_bits=engine.kv_bits,
+                    self_kv_int8=q,
+                )[0]
+            )
         else:
             cfg = {
                 "full": ("take", "lax", True),

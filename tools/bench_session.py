@@ -89,12 +89,70 @@ def smoke():
                   file=sys.stderr, flush=True)
         eng.unload()
 
+    # r4 paths: int8 self-KV cache and the cache_len>128 prefix
+    # buckets, on the real chip (CPU tests cover numerics; this
+    # executes the int8 DMA layout + lax.switch on TPU)
+    import os
+
+    os.environ["WNT_SELF_KV_INT8"] = "1"
+    try:
+        params = init_whisper_params(jax.random.PRNGKey(0), dims)
+        eng = WhisperEngine(
+            "tiny", compute_type="int8", params=params, dims=dims,
+            tokenizer=WhisperTokenizer.byte_fallback(),
+        )
+        assert eng.self_kv_int8
+        for beam in (1, 3):
+            segs, _ = eng.transcribe_batched(
+                audio, language="en", batch_size=2, beam_size=beam,
+                min_new_tokens=132, max_new_tokens=140,  # crosses 128
+            )
+            print(
+                f"smoke int8-self-kv + prefix-buckets beam={beam}: "
+                f"{len(segs)} segments", file=sys.stderr, flush=True,
+            )
+        eng.unload()
+    finally:
+        os.environ.pop("WNT_SELF_KV_INT8", None)
+
     import __graft_entry__ as g
 
     fn, args = g.entry()
     out = fn(*args)
     print(f"smoke entry(): {getattr(out, 'shape', type(out))}",
           file=sys.stderr, flush=True)
+
+
+def streaming_sweep():
+    """VERDICT r3 ask #5: refresh/agreement policy sweep on chip —
+    p50/p95 word-commit latency vs duty cycle at refresh {0.5, 1, 2} s
+    (LocalAgreement-2) plus the latency-optimal agreement_n=1 point."""
+    import numpy as np
+
+    import bench as bench_mod
+    from whisper_nemo_tpu.audio import decode_audio
+    from whisper_nemo_tpu.engine.transcribe import WhisperEngine
+
+    base = decode_audio("/root/reference/tests/assets/test.opus")
+    reps = int(np.ceil(120 * 16000 / len(base)))
+    audio = np.tile(base, reps)[: 120 * 16000]
+
+    def log(msg):
+        print(f"[sweep {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+    engine = WhisperEngine("medium.en", compute_type="int8")
+    try:
+        for refresh, agreement in (
+            (2.0, 2), (1.0, 2), (0.5, 2), (1.0, 1),
+        ):
+            log(f"--- refresh={refresh}s agreement={agreement} ---")
+            bench_mod.run_streaming_bench(
+                engine, audio, log,
+                min_refresh_s=refresh, agreement_n=agreement,
+            )
+    finally:
+        engine.unload()
 
 
 def _run_tool(mod_name, argv):
@@ -105,6 +163,18 @@ def _run_tool(mod_name, argv):
 
 STEPS = {
     "smoke": smoke,
+    # r4 levers: int8 self-KV ms/step A/B at the bench config, and the
+    # prefix-bucket A/B at a cache_len=256 long-decode config
+    "selfkv": lambda: _run_tool(
+        "bench_beam_step",
+        ["--variants", "prodgreedy,prodgreedyq,prodbeam,prodbeamq"],
+    ),
+    "buckets": lambda: _run_tool(
+        "bench_beam_step",
+        ["--steps", "220", "--variants",
+         "prodgreedy,prodgreedy_nobuckets,prodbeam,prodbeam_nobuckets"],
+    ),
+    "sweep": streaming_sweep,
     "gather": lambda: _run_tool(
         "bench_beam_gather",
         ["--variants", "pallas_t,pallas_t5d,pallas_flat"],
@@ -123,7 +193,22 @@ STEPS = {
     "e2e4h": lambda: _run_mode(
         ["--seconds", "14400", "--compute-type", "int8", "--runs", "2"]
     ),
+    # VERDICT r3 weak #7: blame the ~20% superlinear 4 h diarize
+    # residual with per-stage timing marks
+    "e2e4h_debug": lambda: _debug_timing_run(
+        ["--seconds", "14400", "--compute-type", "int8", "--runs", "1"]
+    ),
 }
+
+
+def _debug_timing_run(argv):
+    import os
+
+    os.environ["WNT_DEBUG_TIMING"] = "1"
+    try:
+        _run_mode(argv)
+    finally:
+        os.environ.pop("WNT_DEBUG_TIMING", None)
 
 
 def main():

@@ -49,6 +49,10 @@ class DecodeOptions:
     timestamp_begin: int = 50364
     max_initial_timestamp_index: int = 50  # 1.0 s, whisper default
     blank_token: int = 220  # " " for the standard GPT-2 vocab
+    # lax.switch prefix restriction of decode self-attention at
+    # cache_len > 128 (whisper_stacked._self_attention_prefix); static
+    # so one process can retrace both settings for on-chip A/B
+    self_prefix_buckets: bool = True
 
 
 def build_suppress_mask(
@@ -144,7 +148,8 @@ def _apply_timestamp_rules(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dims", "opts", "n_prompt", "dtype", "kv_int8", "kv_bits"
+        "dims", "opts", "n_prompt", "dtype", "kv_int8", "kv_bits",
+        "self_kv_int8",
     ),
 )
 def greedy_decode(
@@ -160,6 +165,7 @@ def greedy_decode(
     prompt_valid: Optional[jnp.ndarray] = None,  # [B, n_prompt] bool
     kv_int8: bool = False,
     kv_bits: int = 8,
+    self_kv_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched decode. Returns (tokens [B, L], lengths [B],
     sum_logprob [B], no_speech_prob [B]).
@@ -201,7 +207,10 @@ def greedy_decode(
                 cross_kv = quantize_cross_kv_stacked(
                     cross_kv, bits=kv_bits
                 )
-        cache = init_stacked_cache(b, dims, dtype, cache_len=cache_len)
+        cache = init_stacked_cache(
+            b, dims, dtype, cache_len=cache_len,
+            self_kv_int8=self_kv_int8,
+        )
         step_fn = decode_step_stacked
     else:
         cross_kv = cross_attention_kv(params, audio, dims)
@@ -318,9 +327,13 @@ def greedy_decode(
         finished = finished | newly_finished
 
         tokens = tokens.at[jnp.arange(b), pos].set(nxt)
+        extra = (
+            {"prefix_buckets": opts.self_prefix_buckets} if stacked else {}
+        )
         next_hid, cache = step_fn(
             params, nxt, pos, cache, cross_kv, dims, dtype,
             kv_valid=kv_valid, pos_offset=pos_offset, return_hidden=True,
+            **extra,
         )  # hidden predicting pos + 1
         return (
             pos + 1, tokens, cache, finished, sum_logprob, length,
@@ -347,7 +360,7 @@ def greedy_decode(
     jax.jit,
     static_argnames=(
         "dims", "opts", "n_prompt", "beam_size", "dtype", "kv_int8",
-        "kv_bits",
+        "kv_bits", "self_kv_int8",
     ),
 )
 def beam_decode(
@@ -364,6 +377,7 @@ def beam_decode(
     kv_int8: bool = False,
     kv_bits: int = 8,
     prompt_valid: Optional[jnp.ndarray] = None,  # [B, n_prompt] bool
+    self_kv_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched beam search (the faster-whisper/CT2 default decode mode,
     beam_size=5). Returns (tokens [B, L], lengths [B], sum_logprob [B],
@@ -502,7 +516,10 @@ def beam_decode(
     from ..models.whisper import _vocab_logits, prefill_cache
 
     if stacked:
-        cache_b = init_stacked_cache(b, dims, dtype, cache_len=cache_len)
+        cache_b = init_stacked_cache(
+            b, dims, dtype, cache_len=cache_len,
+            self_kv_int8=self_kv_int8,
+        )
         x_pf, cache_b = prefill_cache_stacked(
             params, prompt.astype(jnp.int32), cache_b, base_kv, dims,
             dtype, kv_valid=kv_valid_b, pos_offset=pos_offset_b,
@@ -601,6 +618,8 @@ def beam_decode(
         finished = finished[gather_idx] | (
             new_tok.reshape(bk) == opts.eot
         )
+        if stacked:
+            step_kwargs["prefix_buckets"] = opts.self_prefix_buckets
         next_hid, cache = step_fn(
             params, new_tok.reshape(bk), pos, cache, cross_kv, dims,
             dtype, kv_valid=kv_valid, pos_offset=pos_offset,

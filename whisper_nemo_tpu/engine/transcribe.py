@@ -200,6 +200,15 @@ class WhisperEngine:
         if kv_bits not in (4, 8):
             raise ValueError(f"kv_bits must be 4 or 8, got {kv_bits}")
         self.kv_bits = kv_bits if self.kv_int8 else 8
+        # int8 SELF-attention KV cache — the last bf16 stream in the
+        # decode loop (per-position scales fold outside the cache
+        # reads, models/whisper_stacked.quantize_kv_t). Off by default
+        # pending the on-chip measurement (ROADMAP's open lever);
+        # WNT_SELF_KV_INT8=1 enables for A/B runs.
+        self.self_kv_int8 = (
+            os.environ.get("WNT_SELF_KV_INT8", "0") == "1"
+            and self.kv_int8
+        )
         self.multilingual = not model_name.endswith(".en")
         if tokenizer is None:
             from .checkpoint import model_cache_dir
@@ -260,6 +269,11 @@ class WhisperEngine:
             no_timestamps=t.no_timestamps,
             timestamp_begin=t.timestamp_begin,
             blank_token=blank,
+            # production kill switch for the cache_len>128 prefix
+            # restriction (A/B measurement; see DecodeOptions)
+            self_prefix_buckets=(
+                os.environ.get("WNT_SELF_PREFIX_BUCKETS", "1") != "0"
+            ),
         )
         kw.update(over)
         return DecodeOptions(**kw)
@@ -427,6 +441,7 @@ class WhisperEngine:
                 kv_int8=self.kv_int8,
                 kv_bits=self.kv_bits,
                 prompt_valid=prompt_valid,
+                self_kv_int8=self.self_kv_int8,
             )
         else:
             tokens, length, sum_logprob, no_speech = greedy_decode(
@@ -442,6 +457,7 @@ class WhisperEngine:
                 prompt_valid=prompt_valid,
                 kv_int8=self.kv_int8,
                 kv_bits=self.kv_bits,
+                self_kv_int8=self.self_kv_int8,
             )
         if not sync:
             # leave results on device: lets the caller dispatch the next

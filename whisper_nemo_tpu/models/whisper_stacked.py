@@ -16,8 +16,6 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-import os
-
 from ..ops.attention import attention_kt, attention_kt_ancestry
 from .whisper import (
     WhisperDims,
@@ -135,9 +133,27 @@ def quantize_cross_kv_stacked(cross_kv: dict, bits: int = 8) -> dict:
     return out
 
 
+def quantize_kv_t(x_t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-position int8 quantization of transposed K/V values:
+    [..., D, P] → (int8 [..., D, P], fp32 scale [..., P]) with
+    amax/127 over D. The decode self-cache is the last bf16 stream in
+    the decode loop (weights and cross-KV are already int8); storing
+    it int8 halves that HBM read. Scales fold OUTSIDE the cache reads
+    (K's scale multiplies the logits column, V's folds into the
+    attention weights — ops.attention.attention_kt), so no kernel work
+    is needed."""
+    amax = jnp.max(jnp.abs(x_t.astype(jnp.float32)), axis=-2)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(
+        jnp.round(x_t.astype(jnp.float32) / scale[..., None, :]),
+        -127, 127,
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def init_stacked_cache(
     batch: int, dims: WhisperDims, dtype=jnp.float32,
-    cache_len: Optional[int] = None,
+    cache_len: Optional[int] = None, self_kv_int8: bool = False,
 ) -> dict:
     """Self-attention cache in TRANSPOSED layout [L, B, H, D, S]:
     positions ride the 128-lane axis (cache_len is a 128-multiple) and
@@ -149,6 +165,16 @@ def init_stacked_cache(
     h = dims.n_text_head
     hd = dims.n_text_state // h
     t = cache_len or dims.n_text_ctx
+    if self_kv_int8:
+        # int8 values + per-position fp32 scales (quantize_kv_t); the
+        # presence of the scale leaves switches the decode/prefill
+        # write and read paths to the quantized scheme
+        return {
+            "k": jnp.zeros((dims.n_text_layer, batch, h, hd, t), jnp.int8),
+            "v": jnp.zeros((dims.n_text_layer, batch, h, hd, t), jnp.int8),
+            "k_scale": jnp.ones((dims.n_text_layer, batch, h, t), jnp.float32),
+            "v_scale": jnp.ones((dims.n_text_layer, batch, h, t), jnp.float32),
+        }
     return {
         "k": jnp.zeros((dims.n_text_layer, batch, h, hd, t), dtype),
         "v": jnp.zeros((dims.n_text_layer, batch, h, hd, t), dtype),
@@ -196,22 +222,31 @@ def prefill_cache_stacked(
         k: v for k, v in cross_kv.items() if not k.startswith("_")
     }
 
+    self_q = "k_scale" in cache
+
     def layer(x, scanned):
-        blk, kv_k, kv_v, ckv = scanned
+        blk, c, ckv = scanned
+        c = dict(c)
         xn = _layer_norm(blk["ln1"], x)
         q = _split_heads(_linear(blk["attn"]["q"], xn), dims.n_text_head)
         k_new = _split_heads(_linear(blk["attn"]["k"], xn), dims.n_text_head)
         v_new = _split_heads(_linear(blk["attn"]["v"], xn), dims.n_text_head)
         # cache is [B, H, D, S] (positions on lanes — see
-        # init_stacked_cache); prompt K/V transpose in on write
-        k_cache = jax.lax.dynamic_update_slice(
-            kv_k, k_new.transpose(0, 2, 3, 1).astype(kv_k.dtype),
-            (0, 0, 0, 0),
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            kv_v, v_new.transpose(0, 2, 3, 1).astype(kv_v.dtype),
-            (0, 0, 0, 0),
-        )
+        # init_stacked_cache); prompt K/V transpose in on write; int8
+        # caches quantize the prompt block per position
+        for name, new in (("k", k_new), ("v", v_new)):
+            new_t = new.transpose(0, 2, 3, 1)  # [B, H, D, P]
+            if self_q:
+                new_t, sc = quantize_kv_t(new_t)
+                c[f"{name}_scale"] = jax.lax.dynamic_update_slice(
+                    c[f"{name}_scale"], sc, (0, 0, 0)
+                )
+            c[name] = jax.lax.dynamic_update_slice(
+                c[name], new_t.astype(c[name].dtype), (0, 0, 0, 0)
+            )
+        # prefill attention runs on the in-flight float K/V (the cache
+        # write is for the decode loop; quantizing the prompt's own
+        # teacher-forced pass would only add error for zero DMA win)
         attn = _attention(q, k_new, v_new, mask).reshape(b, p_len, -1)
         x = x + _linear(blk["attn"]["o"], attn)
 
@@ -236,13 +271,13 @@ def prefill_cache_stacked(
             cross = _attention(qc, ckv["k"], ckv["v"])
         x = x + _linear(blk["cross_attn"]["o"], cross.reshape(b, p_len, -1))
         x = x + _mlp(blk["mlp_in"], blk["mlp_out"], _layer_norm(blk["ln2"], x))
-        return x, (k_cache, v_cache)
+        return x, c
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (dec["blocks_stacked"], cache["k"], cache["v"], scanned_kv)
+    x, new_cache = jax.lax.scan(
+        layer, x, (dec["blocks_stacked"], cache, scanned_kv)
     )
     x = _layer_norm(dec["ln"], x)
-    return x, {"k": new_k, "v": new_v}
+    return x, new_cache
 
 
 def _cross_prefill_declayout(qc, ckv, cross_len: int, bits: int = 8):
@@ -279,7 +314,10 @@ def _cross_prefill_declayout(qc, ckv, cross_len: int, bits: int = 8):
     return cross
 
 
-def _self_attention_prefix(q, k_l, v_l, mask, anc, pos):
+def _self_attention_prefix(
+    q, k_l, v_l, mask, anc, pos, k_scale=None, v_scale=None,
+    enable=True,
+):
     """Self-attention over the cache restricted to the 128-position
     block prefix that contains ``pos``.
 
@@ -296,21 +334,25 @@ def _self_attention_prefix(q, k_l, v_l, mask, anc, pos):
     """
     s = k_l.shape[-1]
     buckets = list(range(128, s, 128)) + [s]
-    if len(buckets) == 1 or os.environ.get(
-        "WNT_SELF_PREFIX_BUCKETS", "1"
-    ) == "0":
+    if len(buckets) == 1 or not enable:
         if anc is None:
-            return attention_kt(q, k_l, v_l, mask)
-        return attention_kt_ancestry(q, k_l, v_l, anc, mask)
+            return attention_kt(q, k_l, v_l, mask, k_scale, v_scale)
+        return attention_kt_ancestry(
+            q, k_l, v_l, anc, mask, k_scale, v_scale
+        )
 
     def make(blen):
         def branch(q, k_l, v_l, mask):
             kb, vb, mb = (
                 k_l[..., :blen], v_l[..., :blen], mask[..., :blen]
             )
+            ks = None if k_scale is None else k_scale[..., :blen]
+            vs = None if v_scale is None else v_scale[..., :blen]
             if anc is None:
-                return attention_kt(q, kb, vb, mb)
-            return attention_kt_ancestry(q, kb, vb, anc[..., :blen], mb)
+                return attention_kt(q, kb, vb, mb, ks, vs)
+            return attention_kt_ancestry(
+                q, kb, vb, anc[..., :blen], mb, ks, vs
+            )
 
         return branch
 
@@ -332,6 +374,7 @@ def decode_step_stacked(
     pos_offset: Optional[jnp.ndarray] = None,
     return_hidden: bool = False,
     anc: Optional[jnp.ndarray] = None,
+    prefix_buckets: bool = True,
 ) -> Tuple[jnp.ndarray, dict]:
     """Numerically identical to models.whisper.decode_step, with the
     layer loop as a lax.scan over stacked params. ``return_hidden``
@@ -384,9 +427,12 @@ def decode_step_stacked(
 
         from ..ops.cross_decode import cross_attention_decode_layered
 
+        self_q = "k_scale" in cache
+
         def layer(carry, scanned):
-            x, cache_k, cache_v = carry
+            x, c = carry
             blk, ckv, li = scanned
+            c = dict(c)
             xn = _layer_norm(blk["ln1"], x)
             q = _split_heads(
                 _linear(blk["attn"]["q"], xn), dims.n_text_head
@@ -398,24 +444,33 @@ def decode_step_stacked(
                 _linear(blk["attn"]["v"], xn), dims.n_text_head
             )
             # cache is [L, B, H, D, S] (positions on lanes); the new
-            # token's K/V transpose in on write
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k,
-                k_new.transpose(0, 2, 3, 1).astype(cache_k.dtype)[None],
-                (li, 0, 0, 0, pos),
+            # token's K/V transpose in on write (int8 caches quantize
+            # per position here, scales stored alongside)
+            for name, new in (("k", k_new), ("v", v_new)):
+                new_t = new.transpose(0, 2, 3, 1)  # [B, H, D, 1]
+                if self_q:
+                    new_t, sc = quantize_kv_t(new_t)
+                    c[f"{name}_scale"] = jax.lax.dynamic_update_slice(
+                        c[f"{name}_scale"], sc[None], (li, 0, 0, pos)
+                    )
+                c[name] = jax.lax.dynamic_update_slice(
+                    c[name], new_t.astype(c[name].dtype)[None],
+                    (li, 0, 0, 0, pos),
+                )
+
+            def _layer_slice(x_full):
+                return jax.lax.dynamic_slice(
+                    x_full, (li,) + (0,) * (x_full.ndim - 1),
+                    (1,) + x_full.shape[1:],
+                )[0]
+
+            k_l, v_l = _layer_slice(c["k"]), _layer_slice(c["v"])
+            k_sc = _layer_slice(c["k_scale"]) if self_q else None
+            v_sc = _layer_slice(c["v_scale"]) if self_q else None
+            attn = _self_attention_prefix(
+                q, k_l, v_l, mask, anc, pos, k_sc, v_sc,
+                enable=prefix_buckets,
             )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v,
-                v_new.transpose(0, 2, 3, 1).astype(cache_v.dtype)[None],
-                (li, 0, 0, 0, pos),
-            )
-            k_l = jax.lax.dynamic_slice(
-                cache_k, (li, 0, 0, 0, 0), (1,) + cache_k.shape[1:]
-            )[0]
-            v_l = jax.lax.dynamic_slice(
-                cache_v, (li, 0, 0, 0, 0), (1,) + cache_v.shape[1:]
-            )[0]
-            attn = _self_attention_prefix(q, k_l, v_l, mask, anc, pos)
             attn = attn.reshape(b, 1, -1)
             x = x + _linear(blk["attn"]["o"], attn)
 
@@ -432,11 +487,11 @@ def decode_step_stacked(
             x = x + _mlp(
                 blk["mlp_in"], blk["mlp_out"], _layer_norm(blk["ln2"], x)
             )
-            return (x, cache_k, cache_v), None
+            return (x, c), None
 
-        (x, new_k, new_v), _ = jax.lax.scan(
+        (x, new_cache), _ = jax.lax.scan(
             layer,
-            (x, cache["k"], cache["v"]),
+            (x, cache),
             (
                 dec["blocks_stacked"],
                 scanned_kv,
@@ -448,25 +503,35 @@ def decode_step_stacked(
         )
         x = _layer_norm(dec["ln"], x)
         if return_hidden:
-            return x[:, 0, :], {"k": new_k, "v": new_v}
+            return x[:, 0, :], new_cache
         logits = _vocab_logits(dec, x[:, 0, :])
-        return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
+        return logits.astype(jnp.float32), new_cache
+
+    self_q = "k_scale" in cache
 
     def layer(x, scanned):
-        blk, kv_k, kv_v, ckv = scanned
+        blk, c, ckv = scanned
+        c = dict(c)
         xn = _layer_norm(blk["ln1"], x)
         q = _split_heads(_linear(blk["attn"]["q"], xn), dims.n_text_head)
         k_new = _split_heads(_linear(blk["attn"]["k"], xn), dims.n_text_head)
         v_new = _split_heads(_linear(blk["attn"]["v"], xn), dims.n_text_head)
-        k_cache = jax.lax.dynamic_update_slice(
-            kv_k, k_new.transpose(0, 2, 3, 1).astype(kv_k.dtype),
-            (0, 0, 0, pos),
+        for name, new in (("k", k_new), ("v", v_new)):
+            new_t = new.transpose(0, 2, 3, 1)  # [B, H, D, 1]
+            if self_q:
+                new_t, sc = quantize_kv_t(new_t)
+                c[f"{name}_scale"] = jax.lax.dynamic_update_slice(
+                    c[f"{name}_scale"], sc, (0, 0, pos)
+                )
+            c[name] = jax.lax.dynamic_update_slice(
+                c[name], new_t.astype(c[name].dtype), (0, 0, 0, pos)
+            )
+        attn = _self_attention_prefix(
+            q, c["k"], c["v"], mask, anc, pos,
+            c["k_scale"] if self_q else None,
+            c["v_scale"] if self_q else None,
+            enable=prefix_buckets,
         )
-        v_cache = jax.lax.dynamic_update_slice(
-            kv_v, v_new.transpose(0, 2, 3, 1).astype(kv_v.dtype),
-            (0, 0, 0, pos),
-        )
-        attn = _self_attention_prefix(q, k_cache, v_cache, mask, anc, pos)
         attn = attn.reshape(b, 1, -1)
         x = x + _linear(blk["attn"]["o"], attn)
 
@@ -489,13 +554,13 @@ def decode_step_stacked(
             cross = _attention(qc, ckv["k"], ckv["v"])
         x = x + _linear(blk["cross_attn"]["o"], cross.reshape(b, 1, -1))
         x = x + _mlp(blk["mlp_in"], blk["mlp_out"], _layer_norm(blk["ln2"], x))
-        return x, (k_cache, v_cache)
+        return x, c
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (dec["blocks_stacked"], cache["k"], cache["v"], scanned_kv)
+    x, new_cache = jax.lax.scan(
+        layer, x, (dec["blocks_stacked"], cache, scanned_kv)
     )
     x = _layer_norm(dec["ln"], x)
     if return_hidden:
-        return x[:, 0, :], {"k": new_k, "v": new_v}
+        return x[:, 0, :], new_cache
     logits = _vocab_logits(dec, x[:, 0, :])
-    return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
+    return logits.astype(jnp.float32), new_cache

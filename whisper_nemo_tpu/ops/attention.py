@@ -125,7 +125,7 @@ def _flash_attention(q, k, v):
     return out.swapaxes(1, 2)[:, :t]
 
 
-def attention_kt(q, k_t, v_t, mask=None):
+def attention_kt(q, k_t, v_t, mask=None, k_scale=None, v_scale=None):
     """Decode-step attention over a TRANSPOSED KV cache:
     [B, Tq, H, D] × K^T/V^T [B, H, D, S] → [B, Tq, H, D].
 
@@ -137,23 +137,37 @@ def attention_kt(q, k_t, v_t, mask=None):
     ``_xla_attention`` (fp32 softmax, finite mask replacement); the
     softmax scale folds entirely into q (one [B, Tq, H, D]-sized
     multiply) instead of scaling the S-sized cache by d^-0.25.
+
+    ``k_scale``/``v_scale`` ([B, H, S]) dequantize an int8 cache (the
+    last bf16 stream of the decode loop stored at half width,
+    per-position amax/127 over D): K's scale multiplies the logits
+    column, V's folds into the attention weights — both on the SMALL
+    [B, H, Tq, S] tensors, never on the cache itself, so XLA converts
+    the int8 values post-DMA and the HBM stream halves.
     """
     scale = q.shape[-1] ** -0.5
+    if k_scale is None:
+        qq = (q * scale).astype(k_t.dtype)
+    else:
+        qq, k_t = q * scale, k_t.astype(q.dtype)
     logits = jnp.einsum(
-        "bqhd,bhds->bhqs",
-        (q * scale).astype(k_t.dtype),
-        k_t,
+        "bqhd,bhds->bhqs", qq, k_t,
         preferred_element_type=jnp.float32,
     )
+    if k_scale is not None:
+        logits = logits * k_scale[:, :, None, :]
     if mask is not None:
         logits = jnp.where(mask >= 0.0, logits, _MASK_VALUE)
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
-        q.dtype
-    )
-    return jnp.einsum("bhqs,bhds->bqhd", weights, v_t)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if v_scale is not None:
+        weights = weights * v_scale[:, :, None, :]
+        v_t = v_t.astype(q.dtype)
+    return jnp.einsum("bhqs,bhds->bqhd", weights.astype(q.dtype), v_t)
 
 
-def attention_kt_ancestry(q, k_t, v_t, anc, mask=None):
+def attention_kt_ancestry(
+    q, k_t, v_t, anc, mask=None, k_scale=None, v_scale=None
+):
     """Beam decode-step attention over an UNREORDERED transposed KV
     cache, selecting each history position's true source lane through
     a per-position ancestry map.
@@ -188,17 +202,27 @@ def attention_kt_ancestry(q, k_t, v_t, anc, mask=None):
 
     q: [B*K, Tq=1, H, D]; k_t/v_t: [B*K, H, D, S]; anc: [B, K, S] int
     in [0, K); mask as in ``attention_kt`` ([B*K|1, 1, 1, S]).
+    ``k_scale``/``v_scale`` ([B*K, H, S]) dequantize an int8 cache —
+    each row's scale applies to that row's logits/weights BEFORE the
+    ancestry selection, so the selected value carries its true source
+    row's scale (see ``attention_kt``).
     """
     b, kk, s = anc.shape
     bk, tq, h, d = q.shape
     scale = d ** -0.5
     # every row of a window carries the window's K query lanes
-    q2 = (q * scale).astype(k_t.dtype).reshape(b, 1, kk, h, d)
+    if k_scale is None:
+        qs = (q * scale).astype(k_t.dtype)
+    else:
+        qs, k_t = q * scale, k_t.astype(q.dtype)
+    q2 = qs.reshape(b, 1, kk, h, d)
     q_all = jnp.broadcast_to(q2, (b, kk, kk, h, d)).reshape(bk, kk, h, d)
     logits_all = jnp.einsum(
         "bqhd,bhds->bhqs", q_all, k_t,
         preferred_element_type=jnp.float32,
     )  # [BK, H, J, S]: row (b, i)'s cache scored by query lane j
+    if k_scale is not None:
+        logits_all = logits_all * k_scale[:, :, None, :]
     oh = jax.nn.one_hot(anc, kk, dtype=jnp.float32)  # [B, J, S, I]
     # select each (query lane, position)'s true source row
     l5 = logits_all.reshape(b, kk, h, kk, s)  # [B, I, H, J, S]
@@ -208,9 +232,13 @@ def attention_kt_ancestry(q, k_t, v_t, anc, mask=None):
         logits = jnp.where(m >= 0.0, logits, _MASK_VALUE)
     w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # [B,J,H,S]
     # scatter weights back onto their source rows, then the plain AV
-    w_all = jnp.einsum("bjhs,bjsi->bihjs", w, oh).astype(q.dtype)
+    w_all = jnp.einsum("bjhs,bjsi->bihjs", w, oh)
+    w_all = w_all.reshape(bk, h, kk, s)
+    if v_scale is not None:
+        w_all = w_all * v_scale[:, :, None, :]
+        v_t = v_t.astype(q.dtype)
     out_all = jnp.einsum(
-        "bhqs,bhds->bqhd", w_all.reshape(bk, h, kk, s), v_t
+        "bhqs,bhds->bqhd", w_all.astype(q.dtype), v_t
     )  # [BK, J, H, D]
     out = out_all.reshape(b, kk, kk, h, d).sum(axis=1)  # Σ source rows
     return out.reshape(bk, tq, h, d)
