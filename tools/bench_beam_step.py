@@ -273,12 +273,22 @@ def main():
                 cache = {"k": reindex(cache["k"]),
                          "v": reindex(cache["v"])}
             # "none": skip the reindex (timing floor, numerics wrong)
+            # "anc": no reindex either, but run the ancestry-selection
+            # attention with an identity lane map — isolates
+            # attention_kt_ancestry's cost over attention_kt (the
+            # contraction/K-wide-logits delta), with zero permute work
             finished = finished[gather_idx] | (
                 new_tok.reshape(bk) == opts.eot
             )
+            step_kwargs = {}
+            if gather == "anc":
+                step_kwargs["anc"] = jnp.broadcast_to(
+                    jnp.arange(k, dtype=jnp.int32)[None, :, None],
+                    (b, k, cache["k"].shape[-1]),
+                )
             next_hid, cache = decode_step_stacked(
                 params, new_tok.reshape(bk), pos, cache, cross_kv,
-                dims, dtype, return_hidden=True,
+                dims, dtype, return_hidden=True, **step_kwargs,
             )
             return (pos + 1, tokens, cache, finished, top_scores,
                     next_hid)
@@ -349,6 +359,7 @@ def main():
                 "onehotfull": ("onehotfull", "lax", True),
                 "onehot": ("onehot", "lax", True),
                 "nogather": ("none", "lax", True),
+                "ancattn": ("anc", "lax", True),
                 "argmaxk": ("take", "argmaxk", True),
                 "nosoftmax": ("take", "lax", False),
                 "floor": ("none", "argmaxk", False),

@@ -189,6 +189,9 @@ STEPS = {
     "serving": lambda: _run_mode(["--mode", "serving"]),
     "streaming": lambda: _run_mode(["--mode", "streaming"]),
     "e2e": lambda: _run_mode(["--compute-type", "int8"]),
+    "e2e_selfkv": lambda: _env_run(
+        {"WNT_SELF_KV_INT8": "1"}, ["--compute-type", "int8"]
+    ),
     "beam": lambda: _run_mode(["--compute-type", "int8", "--beam", "5"]),
     "e2e4h": lambda: _run_mode(
         ["--seconds", "14400", "--compute-type", "int8", "--runs", "2"]
@@ -201,14 +204,20 @@ STEPS = {
 }
 
 
-def _debug_timing_run(argv):
+def _env_run(env, argv):
     import os
 
-    os.environ["WNT_DEBUG_TIMING"] = "1"
+    for k, v in env.items():
+        os.environ[k] = v
     try:
         _run_mode(argv)
     finally:
-        os.environ.pop("WNT_DEBUG_TIMING", None)
+        for k in env:
+            os.environ.pop(k, None)
+
+
+def _debug_timing_run(argv):
+    _env_run({"WNT_DEBUG_TIMING": "1"}, argv)
 
 
 def main():
