@@ -158,9 +158,9 @@ def test_warmup_runs_serving_decode_path(serving_with_test_models):
     batches = []
     orig = handler_mod.window_scheduler._process
 
-    def spy(items):
+    def spy(items, **kwargs):
         batches.append(len(items))
-        return orig(items)
+        return orig(items, **kwargs)
 
     handler_mod.window_scheduler._process = spy
     try:
@@ -177,9 +177,9 @@ def test_concurrent_jobs_share_scheduler_batch(serving_with_test_models):
     batch_sizes = []
     orig = handler_mod.window_scheduler._process
 
-    def spy(items):
+    def spy(items, **kwargs):
         batch_sizes.append(len(items))
-        return orig(items)
+        return orig(items, **kwargs)
 
     handler_mod.window_scheduler._process = spy
 
