@@ -108,7 +108,9 @@ def test_prefix_buckets_cross_128_parity():
     suppress = jnp.zeros((dims.n_vocab,), jnp.float32)
     # 140 generated tokens -> cache_len 256, positions cross the
     # 128-boundary mid-decode (bucket switch 128 -> 256)
-    opts = DecodeOptions(max_new_tokens=140, min_new_tokens=136)
+    opts = DecodeOptions(
+        max_new_tokens=140, min_new_tokens=136, self_prefix_buckets=True
+    )
 
     tok_u, len_u, lp_u, _ = greedy_decode(
         params, audio, prompt, suppress, dims, opts, n_prompt=4

@@ -51,8 +51,11 @@ class DecodeOptions:
     blank_token: int = 220  # " " for the standard GPT-2 vocab
     # lax.switch prefix restriction of decode self-attention at
     # cache_len > 128 (whisper_stacked._self_attention_prefix); static
-    # so one process can retrace both settings for on-chip A/B
-    self_prefix_buckets: bool = True
+    # so one process can retrace both settings for on-chip A/B.
+    # Measured negative on chip (greedy 8.38→12.87 ms/step at 220
+    # steps: switch dispatch outweighs the prefix DMA saving), so off
+    # unless WNT_SELF_PREFIX_BUCKETS=1.
+    self_prefix_buckets: bool = False
 
 
 def build_suppress_mask(

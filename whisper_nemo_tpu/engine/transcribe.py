@@ -269,10 +269,13 @@ class WhisperEngine:
             no_timestamps=t.no_timestamps,
             timestamp_begin=t.timestamp_begin,
             blank_token=blank,
-            # production kill switch for the cache_len>128 prefix
-            # restriction (A/B measurement; see DecodeOptions)
+            # measured NEGATIVE on chip (2026-08-19, medium.en b32
+            # int8, 220 steps / cache_len 256: greedy 8.38→12.87
+            # ms/step, beam 48.77→50.30 — the lax.switch dispatch
+            # costs more than the prefix DMA saves), so default OFF;
+            # WNT_SELF_PREFIX_BUCKETS=1 re-enables for A/B
             self_prefix_buckets=(
-                os.environ.get("WNT_SELF_PREFIX_BUCKETS", "1") != "0"
+                os.environ.get("WNT_SELF_PREFIX_BUCKETS", "0") == "1"
             ),
         )
         kw.update(over)

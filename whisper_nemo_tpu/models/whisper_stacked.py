@@ -329,8 +329,12 @@ def _self_attention_prefix(
     buckets save nothing). At cache_len == 128 (the bench/serving
     shapes, max_new ≤ 124) this is the identity. Exact: the mask
     already zeroed every position beyond ``pos``, so dropping masked
-    columns leaves the softmax unchanged. Kill switch:
-    ``WNT_SELF_PREFIX_BUCKETS=0``.
+    columns leaves the softmax unchanged. Measured NEGATIVE on chip
+    (2026-08-19, medium.en b32 int8 at 220 steps / cache_len 256:
+    greedy 8.38→12.87 ms/step, beam 48.77→50.30 — the per-step
+    ``lax.switch`` dispatch costs more than the prefix DMA saves), so
+    the production default is OFF; ``WNT_SELF_PREFIX_BUCKETS=1``
+    re-enables it for A/B.
     """
     s = k_l.shape[-1]
     buckets = list(range(128, s, 128)) + [s]
@@ -374,7 +378,7 @@ def decode_step_stacked(
     pos_offset: Optional[jnp.ndarray] = None,
     return_hidden: bool = False,
     anc: Optional[jnp.ndarray] = None,
-    prefix_buckets: bool = True,
+    prefix_buckets: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """Numerically identical to models.whisper.decode_step, with the
     layer loop as a lax.scan over stacked params. ``return_hidden``
