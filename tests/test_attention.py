@@ -81,8 +81,9 @@ def test_attention_kt_matches_gathered_reference():
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
 
 
+@pytest.mark.parametrize("select", ["einsum", "masked"])
 @pytest.mark.parametrize("with_mask", [False, True])
-def test_attention_kt_ancestry_matches_gathered_cache(with_mask):
+def test_attention_kt_ancestry_matches_gathered_cache(with_mask, select):
     """Ancestry selection over an unreordered cache must equal
     attention_kt over the explicitly beam-gathered cache (beam search's
     no-reorder contract, engine/decode.py beam_decode)."""
@@ -106,7 +107,9 @@ def test_attention_kt_ancestry_matches_gathered_cache(with_mask):
             jnp.asarray(valid), 0.0, -jnp.inf
         ).astype(jnp.float32)[:, None, None, :]
 
-    out = attention_kt_ancestry(q, k, v, jnp.asarray(anc, jnp.int32), mask)
+    out = attention_kt_ancestry(
+        q, k, v, jnp.asarray(anc, jnp.int32), mask, select=select
+    )
 
     # reference: materialize each (window, lane, position)'s true
     # source row and run the plain transposed-cache attention
@@ -159,6 +162,13 @@ def test_attention_kt_int8_scales_match_dequantized(ancestry):
         anc = jnp.asarray(rng.integers(0, k, (b, k, s)), jnp.int32)
         got = attention_kt_ancestry(q, k_q, v_q, anc, mask, k_sc, v_sc)
         want = attention_kt_ancestry(q, k_deq, v_deq, anc, mask)
+        # the masked formulation is the same selection, element-wise
+        got_m = attention_kt_ancestry(
+            q, k_q, v_q, anc, mask, k_sc, v_sc, select="masked"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_m), np.asarray(got), rtol=2e-5, atol=2e-5
+        )
     else:
         got = attention_kt(q, k_q, v_q, mask, k_sc, v_sc)
         want = attention_kt(q, k_deq, v_deq, mask)

@@ -281,11 +281,13 @@ def main():
                 new_tok.reshape(bk) == opts.eot
             )
             step_kwargs = {}
-            if gather == "anc":
+            if gather in ("anc", "anc_masked"):
                 step_kwargs["anc"] = jnp.broadcast_to(
                     jnp.arange(k, dtype=jnp.int32)[None, :, None],
                     (b, k, cache["k"].shape[-1]),
                 )
+                if gather == "anc_masked":
+                    step_kwargs["anc_select"] = "masked"
             next_hid, cache = decode_step_stacked(
                 params, new_tok.reshape(bk), pos, cache, cross_kv,
                 dims, dtype, return_hidden=True, **step_kwargs,
@@ -319,7 +321,10 @@ def main():
     variants = args.variants.split(",")
     results = {}
     for name in variants:
-        if name in ("prodbeam", "prodbeamq", "prodbeam_nobuckets"):
+        if name in (
+            "prodbeam", "prodbeamq", "prodbeam_nobuckets",
+            "prodbeam_masked",
+        ):
             prod_opts = opts
             if name == "prodbeam_nobuckets":
                 import dataclasses
@@ -327,6 +332,10 @@ def main():
                 prod_opts = dataclasses.replace(
                     opts, self_prefix_buckets=False
                 )
+            elif name == "prodbeam_masked":
+                import dataclasses
+
+                prod_opts = dataclasses.replace(opts, anc_select="masked")
             fn = lambda prod_opts=prod_opts, q=(name == "prodbeamq"): (
                 beam_decode(
                     params, feats, prompt, no_suppress, dims, prod_opts,
@@ -360,6 +369,7 @@ def main():
                 "onehot": ("onehot", "lax", True),
                 "nogather": ("none", "lax", True),
                 "ancattn": ("anc", "lax", True),
+                "ancattn_masked": ("anc_masked", "lax", True),
                 "argmaxk": ("take", "argmaxk", True),
                 "nosoftmax": ("take", "lax", False),
                 "floor": ("none", "argmaxk", False),

@@ -175,6 +175,14 @@ STEPS = {
          "prodgreedy,prodgreedy_nobuckets,prodbeam,prodbeam_nobuckets"],
     ),
     "sweep": streaming_sweep,
+    # r4: ancestry-selection formulation A/B ("einsum" dot-generals vs
+    # "masked" unrolled where-selects) + isolation vs the nogather
+    # floor — attributes the beam step's ancestry overhead
+    "ancsel": lambda: _run_tool(
+        "bench_beam_step",
+        ["--variants",
+         "prodbeam,prodbeam_masked,nogather,ancattn,ancattn_masked"],
+    ),
     "gather": lambda: _run_tool(
         "bench_beam_gather",
         ["--variants", "pallas_t,pallas_t5d,pallas_flat"],

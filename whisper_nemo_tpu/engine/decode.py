@@ -56,6 +56,10 @@ class DecodeOptions:
     # steps: switch dispatch outweighs the prefix DMA saving), so off
     # unless WNT_SELF_PREFIX_BUCKETS=1.
     self_prefix_buckets: bool = False
+    # beam ancestry-selection formulation ("einsum" | "masked"); both
+    # exact — see ops.attention.attention_kt_ancestry. Static for
+    # on-chip A/B (WNT_ANC_SELECT).
+    anc_select: str = "einsum"
 
 
 def build_suppress_mask(
@@ -614,7 +618,7 @@ def beam_decode(
                     jnp.arange(k, dtype=anc.dtype)[None], (b, k)
                 )
             )
-            step_kwargs = {"anc": anc}
+            step_kwargs = {"anc": anc, "anc_select": opts.anc_select}
         else:
             cache = gather_cache(cache, gather_idx, src_beam)
             step_kwargs = {}

@@ -277,6 +277,9 @@ class WhisperEngine:
             self_prefix_buckets=(
                 os.environ.get("WNT_SELF_PREFIX_BUCKETS", "0") == "1"
             ),
+            # beam ancestry-selection formulation (both exact;
+            # ops.attention.attention_kt_ancestry) — A/B knob
+            anc_select=os.environ.get("WNT_ANC_SELECT", "einsum"),
         )
         kw.update(over)
         return DecodeOptions(**kw)

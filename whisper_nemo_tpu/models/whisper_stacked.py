@@ -316,7 +316,7 @@ def _cross_prefill_declayout(qc, ckv, cross_len: int, bits: int = 8):
 
 def _self_attention_prefix(
     q, k_l, v_l, mask, anc, pos, k_scale=None, v_scale=None,
-    enable=True,
+    enable=True, anc_select="einsum",
 ):
     """Self-attention over the cache restricted to the 128-position
     block prefix that contains ``pos``.
@@ -342,7 +342,8 @@ def _self_attention_prefix(
         if anc is None:
             return attention_kt(q, k_l, v_l, mask, k_scale, v_scale)
         return attention_kt_ancestry(
-            q, k_l, v_l, anc, mask, k_scale, v_scale
+            q, k_l, v_l, anc, mask, k_scale, v_scale,
+            select=anc_select,
         )
 
     def make(blen):
@@ -355,7 +356,8 @@ def _self_attention_prefix(
             if anc is None:
                 return attention_kt(q, kb, vb, mb, ks, vs)
             return attention_kt_ancestry(
-                q, kb, vb, anc[..., :blen], mb, ks, vs
+                q, kb, vb, anc[..., :blen], mb, ks, vs,
+                select=anc_select,
             )
 
         return branch
@@ -379,6 +381,7 @@ def decode_step_stacked(
     return_hidden: bool = False,
     anc: Optional[jnp.ndarray] = None,
     prefix_buckets: bool = False,
+    anc_select: str = "einsum",
 ) -> Tuple[jnp.ndarray, dict]:
     """Numerically identical to models.whisper.decode_step, with the
     layer loop as a lax.scan over stacked params. ``return_hidden``
@@ -473,7 +476,7 @@ def decode_step_stacked(
             v_sc = _layer_slice(c["v_scale"]) if self_q else None
             attn = _self_attention_prefix(
                 q, k_l, v_l, mask, anc, pos, k_sc, v_sc,
-                enable=prefix_buckets,
+                enable=prefix_buckets, anc_select=anc_select,
             )
             attn = attn.reshape(b, 1, -1)
             x = x + _linear(blk["attn"]["o"], attn)
@@ -534,7 +537,7 @@ def decode_step_stacked(
             q, c["k"], c["v"], mask, anc, pos,
             c["k_scale"] if self_q else None,
             c["v_scale"] if self_q else None,
-            enable=prefix_buckets,
+            enable=prefix_buckets, anc_select=anc_select,
         )
         attn = attn.reshape(b, 1, -1)
         x = x + _linear(blk["attn"]["o"], attn)

@@ -166,7 +166,8 @@ def attention_kt(q, k_t, v_t, mask=None, k_scale=None, v_scale=None):
 
 
 def attention_kt_ancestry(
-    q, k_t, v_t, anc, mask=None, k_scale=None, v_scale=None
+    q, k_t, v_t, anc, mask=None, k_scale=None, v_scale=None,
+    select="einsum",
 ):
     """Beam decode-step attention over an UNREORDERED transposed KV
     cache, selecting each history position's true source lane through
@@ -206,6 +207,16 @@ def attention_kt_ancestry(
     each row's scale applies to that row's logits/weights BEFORE the
     ancestry selection, so the selected value carries its true source
     row's scale (see ``attention_kt``).
+
+    ``select`` picks between two exact formulations of the one-hot
+    lane selection (identical results; A/B'd on chip by
+    tools/bench_beam_step.py):
+      - "einsum": contract the [BK, H, J, S] logits/weights against a
+        [B, J, S, I] one-hot with dot-generals (batch dims {b, j, s}).
+      - "masked": K unrolled ``where(anc == i, ...)`` selects — pure
+        element-wise VPU work with no dot-general batch-dim layout
+        constraints; the scatter side folds into K partial AV einsums
+        (one per source row) summed in registers.
     """
     b, kk, s = anc.shape
     bk, tq, h, d = q.shape
@@ -223,6 +234,42 @@ def attention_kt_ancestry(
     )  # [BK, H, J, S]: row (b, i)'s cache scored by query lane j
     if k_scale is not None:
         logits_all = logits_all * k_scale[:, :, None, :]
+
+    if select == "masked":
+        # l5[b, i, h, j, s] = query lane j scored against source row i;
+        # pick row anc[b, j, s] per position with unrolled exclusive
+        # masks (exact: the discarded terms are never touched, vs the
+        # einsum form's multiply-by-exact-zero)
+        la = logits_all.reshape(b, kk, h, kk, s)  # [B, I, H, J, S]
+        sel = anc[:, None, :, :]  # [B, 1, J, S] vs [B, H, J, S] slices
+        logits = jnp.where(sel == 0, la[:, 0], 0.0)
+        for i in range(1, kk):
+            logits = logits + jnp.where(sel == i, la[:, i], 0.0)
+        if mask is not None:
+            m = jnp.broadcast_to(mask, (bk, 1, 1, s)).reshape(
+                b, kk, s
+            )[:, None, :, :]  # [B, 1, J, S]
+            logits = jnp.where(m >= 0.0, logits, _MASK_VALUE)
+        w = jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1
+        )  # [B, H, J, S]
+        # scatter = K partial AVs: row i attends with lane j's weights
+        # only at positions j sourced from i
+        if v_scale is not None:
+            vs5 = v_scale.reshape(b, kk, h, s)  # [B, I, H, S]
+            v_t = v_t.astype(q.dtype)
+        v5 = v_t.reshape(b, kk, h, d, s)  # [B, I, H, D, S]
+        out = None
+        for i in range(kk):
+            w_i = jnp.where(sel == i, w, 0.0)  # [B, H, J, S]
+            if v_scale is not None:
+                w_i = w_i * vs5[:, i][:, :, None, :]
+            part = jnp.einsum(
+                "bhjs,bhds->bjhd", w_i.astype(q.dtype), v5[:, i]
+            )  # [B, J, H, D]
+            out = part if out is None else out + part
+        return out.reshape(bk, tq, h, d)
+
     oh = jax.nn.one_hot(anc, kk, dtype=jnp.float32)  # [B, J, S, I]
     # select each (query lane, position)'s true source row
     l5 = logits_all.reshape(b, kk, h, kk, s)  # [B, I, H, J, S]
