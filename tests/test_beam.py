@@ -112,11 +112,13 @@ def test_beam_stacked_matches_unstacked(setup):
         )
 
 
-def test_beam_anc_select_formulations_match(setup):
-    """The two exact formulations of the ancestry lane selection
-    ("einsum" dot-generals vs "masked" unrolled where-selects,
-    ops.attention.attention_kt_ancestry) must produce identical beam
-    tokens on the stacked path."""
+@pytest.mark.parametrize("variant", ["masked", "kernel"])
+def test_beam_anc_select_formulations_match(setup, variant):
+    """The exact formulations of the ancestry lane selection ("einsum"
+    dot-generals, "masked" unrolled where-selects — both
+    ops.attention.attention_kt_ancestry — and the Pallas "kernel" of
+    ops/self_decode.py, interpret mode here) must produce identical
+    beam tokens on the stacked path."""
     import dataclasses
 
     from whisper_nemo_tpu.models.whisper_stacked import stack_decoder_blocks
@@ -126,13 +128,13 @@ def test_beam_anc_select_formulations_match(setup):
     et, el, es, _ = beam_decode(
         stacked, feats, prompt, mask, dims, opts, n_prompt=4, beam_size=3
     )
-    mopts = dataclasses.replace(opts, anc_select="masked")
+    vopts = dataclasses.replace(opts, anc_select=variant)
     mt, ml, ms, _ = beam_decode(
-        stacked, feats, prompt, mask, dims, mopts, n_prompt=4, beam_size=3
+        stacked, feats, prompt, mask, dims, vopts, n_prompt=4, beam_size=3
     )
     np.testing.assert_array_equal(np.asarray(et), np.asarray(mt))
     np.testing.assert_array_equal(np.asarray(el), np.asarray(ml))
-    np.testing.assert_allclose(np.asarray(es), np.asarray(ms), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(es), np.asarray(ms), atol=1e-3)
 
 
 def test_beam_with_conditioning_prefix(setup):

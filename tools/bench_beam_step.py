@@ -323,7 +323,7 @@ def main():
     for name in variants:
         if name in (
             "prodbeam", "prodbeamq", "prodbeam_nobuckets",
-            "prodbeam_masked",
+            "prodbeam_masked", "prodbeam_kernel",
         ):
             prod_opts = opts
             if name == "prodbeam_nobuckets":
@@ -332,10 +332,12 @@ def main():
                 prod_opts = dataclasses.replace(
                     opts, self_prefix_buckets=False
                 )
-            elif name == "prodbeam_masked":
+            elif name in ("prodbeam_masked", "prodbeam_kernel"):
                 import dataclasses
 
-                prod_opts = dataclasses.replace(opts, anc_select="masked")
+                prod_opts = dataclasses.replace(
+                    opts, anc_select=name.split("_")[1]
+                )
             fn = lambda prod_opts=prod_opts, q=(name == "prodbeamq"): (
                 beam_decode(
                     params, feats, prompt, no_suppress, dims, prod_opts,

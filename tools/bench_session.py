@@ -183,6 +183,23 @@ STEPS = {
         ["--variants",
          "prodbeam,prodbeam_masked,nogather,ancattn,ancattn_masked"],
     ),
+    # r4: the Pallas ancestry-selection kernel vs the einsum form and
+    # the no-selection floor, at the bench config and the long-decode
+    # (cache_len 256) config
+    "anckernel": lambda: _run_tool(
+        "bench_beam_step",
+        ["--variants", "prodbeam,prodbeam_kernel,nogather,prodgreedy"],
+    ),
+    "anckernel220": lambda: _run_tool(
+        "bench_beam_step",
+        ["--steps", "220",
+         "--variants", "prodbeam,prodbeam_kernel,nogather"],
+    ),
+    # hour beam-5 e2e with the kernel selection (compare 'beam')
+    "beam_kernel": lambda: _env_run(
+        {"WNT_ANC_SELECT": "kernel"},
+        ["--compute-type", "int8", "--beam", "5"],
+    ),
     "gather": lambda: _run_tool(
         "bench_beam_gather",
         ["--variants", "pallas_t,pallas_t5d,pallas_flat"],

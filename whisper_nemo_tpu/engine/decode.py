@@ -56,9 +56,10 @@ class DecodeOptions:
     # steps: switch dispatch outweighs the prefix DMA saving), so off
     # unless WNT_SELF_PREFIX_BUCKETS=1.
     self_prefix_buckets: bool = False
-    # beam ancestry-selection formulation ("einsum" | "masked"); both
-    # exact — see ops.attention.attention_kt_ancestry. Static for
-    # on-chip A/B (WNT_ANC_SELECT).
+    # beam ancestry-selection formulation: "einsum" | "masked" (both
+    # ops.attention.attention_kt_ancestry) | "kernel" (the Pallas
+    # VMEM-resident selection, ops/self_decode.py — interpret-mode off
+    # TPU). All exact; static for on-chip A/B (WNT_ANC_SELECT).
     anc_select: str = "einsum"
 
 

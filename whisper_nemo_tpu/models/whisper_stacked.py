@@ -435,6 +435,12 @@ def decode_step_stacked(
         from ..ops.cross_decode import cross_attention_decode_layered
 
         self_q = "k_scale" in cache
+        use_anc_kernel = (
+            anc is not None
+            and anc_select == "kernel"
+            and not self_q
+            and not (prefix_buckets and cache_len > 128)
+        )
 
         def layer(carry, scanned):
             x, c = carry
@@ -471,13 +477,28 @@ def decode_step_stacked(
                     (1,) + x_full.shape[1:],
                 )[0]
 
-            k_l, v_l = _layer_slice(c["k"]), _layer_slice(c["v"])
-            k_sc = _layer_slice(c["k_scale"]) if self_q else None
-            v_sc = _layer_slice(c["v_scale"]) if self_q else None
-            attn = _self_attention_prefix(
-                q, k_l, v_l, mask, anc, pos, k_sc, v_sc,
-                enable=prefix_buckets, anc_select=anc_select,
-            )
+            if use_anc_kernel:
+                # the Pallas ancestry kernel indexes the layer itself
+                # (scalar prefetch) — no per-layer [BK, H, D, S] slice
+                # ever materializes, and the whole K×K lane selection
+                # runs in VMEM (ops/self_decode.py; the XLA einsum
+                # selection measured +12.4 ms/step at medium/b32·k5)
+                from ..ops.self_decode import (
+                    self_attention_decode_ancestry_layered,
+                )
+
+                attn = self_attention_decode_ancestry_layered(
+                    q, c["k"], c["v"], anc, mask, li,
+                    beam=anc.shape[1], interpret=interpret,
+                )
+            else:
+                k_l, v_l = _layer_slice(c["k"]), _layer_slice(c["v"])
+                k_sc = _layer_slice(c["k_scale"]) if self_q else None
+                v_sc = _layer_slice(c["v_scale"]) if self_q else None
+                attn = _self_attention_prefix(
+                    q, k_l, v_l, mask, anc, pos, k_sc, v_sc,
+                    enable=prefix_buckets, anc_select=anc_select,
+                )
             attn = attn.reshape(b, 1, -1)
             x = x + _linear(blk["attn"]["o"], attn)
 
@@ -515,6 +536,13 @@ def decode_step_stacked(
         return logits.astype(jnp.float32), new_cache
 
     self_q = "k_scale" in cache
+    use_anc_kernel = (
+        anc is not None
+        and anc_select == "kernel"
+        and not self_q
+        and not (prefix_buckets and cache_len > 128)
+    )
+    interp_anc = jax.devices()[0].platform not in ("tpu", "axon")
 
     def layer(x, scanned):
         blk, c, ckv = scanned
@@ -533,12 +561,20 @@ def decode_step_stacked(
             c[name] = jax.lax.dynamic_update_slice(
                 c[name], new_t.astype(c[name].dtype), (0, 0, 0, pos)
             )
-        attn = _self_attention_prefix(
-            q, c["k"], c["v"], mask, anc, pos,
-            c["k_scale"] if self_q else None,
-            c["v_scale"] if self_q else None,
-            enable=prefix_buckets, anc_select=anc_select,
-        )
+        if use_anc_kernel:
+            from ..ops.self_decode import self_attention_decode_ancestry
+
+            attn = self_attention_decode_ancestry(
+                q, c["k"], c["v"], anc, mask,
+                beam=anc.shape[1], interpret=interp_anc,
+            )
+        else:
+            attn = _self_attention_prefix(
+                q, c["k"], c["v"], mask, anc, pos,
+                c["k_scale"] if self_q else None,
+                c["v_scale"] if self_q else None,
+                enable=prefix_buckets, anc_select=anc_select,
+            )
         attn = attn.reshape(b, 1, -1)
         x = x + _linear(blk["attn"]["o"], attn)
 
