@@ -1,32 +1,43 @@
 """Pallas kernel for beam-ancestry decode self-attention.
 
+**MEASURED NEGATIVE at production shapes — kept as the ledger
+artifact** (docs/ROADMAP.md; gated behind
+``DecodeOptions.anc_select="kernel"``).
+
 Beam search here never reorders the self-KV cache: each beam row
 writes its own lane and a [B, K, S] ancestry map records which lane
 owns each history position (engine/decode.py beam_decode). The XLA
 formulation of that selection (ops/attention.attention_kt_ancestry)
-costs +12.4 ms/step over the no-selection floor at medium/b32·k5 —
-measured on chip 2026-08-19 (tools/bench_beam_step.py: nogather 12.22,
-ancattn 24.58 ms/step; an element-wise "masked" reformulation measured
-WORSE at 34.5) — because every intermediate ([BK, H, K, S] logits,
-one-hot selects, scattered weights) is materialized through HBM
-between XLA ops.
+costs +11.6 ms/step over the no-selection floor at medium/b32·k5
+(nogather 12.2, prodbeam 23.9 — tools/bench_beam_step.py), so this
+kernel was built to run the whole selection in VMEM: one program per
+audio window holds the window's K lanes of K and V for every head
+(~2.6 MB at medium/k5/S128), computes all K×K lane scores with
+head-batched MXU dots over a lane-concatenated [D, K·S] view, selects
+with static lane-slice ``where``s against the ancestry row, and
+contracts the scattered weights against the same concatenated V — the
+cache is read from HBM exactly once and nothing [.., S]-sized leaves
+VMEM.
 
-This kernel runs the whole selection in VMEM: one program per audio
-window holds the window's K lanes of K and V for every head
-(~2.6 MB at medium/k5/S128), computes all K×K lane scores with ONE
-MXU dot per head over a lane-concatenated [D, K·S] view, selects with
-static lane-slice ``where``s against the ancestry row, softmaxes, and
-contracts the scattered weights against the same concatenated V in a
-second dot — the cache is read from HBM exactly once and nothing
-[.., S]-sized ever leaves VMEM.
+On chip it measured **42–43 ms/step** (flat in cache length AND in
+in-kernel op count). Attribution (tools/bench_self_kernel.py): the
+decode loop's while-carry cache lives with beam rows on the 128-LANE
+axis — XLA's layout choice, which lowers its decode attention to
+lane-parallel VPU code — and a Pallas custom call REQUIRES the
+default (positions-minor) layout, forcing a lane-crossing relayout of
+the 2 GB cache (~26 ms/step): even plain no-selection attention
+isolated behind a default-layout boundary costs 29.1 ms/step vs ~3
+inside the loop. The einsum formulation composes with XLA's chosen
+layout and is the measured optimum of five formulations. This kernel
+does win at cache_len 256 (44.2 vs einsum 48.8 ms/step) — long-decode
+shapes the production pipeline does not use.
 
 Numerically equivalent (f32 logits/softmax, bf16 AV — same as
 attention_kt_ancestry's einsum path) to attention over the explicitly
 beam-gathered cache; parity pinned in tests/test_self_decode.py.
 
 Reference contract: the CT2/faster-whisper beam decoder's
-``batch_reorder`` + standard self-attention (D3); this is the
-TPU-native replacement for both.
+``batch_reorder`` + standard self-attention (D3).
 """
 
 from __future__ import annotations
@@ -41,55 +52,52 @@ from jax.experimental.pallas import tpu as pltpu
 _MASK_VALUE = -0.7 * 3.4e38  # finite "-inf" (ops/attention.py)
 
 
-def _ancestry_head(q_h, k_rows, v_rows, sel, m_row, kk: int):
-    """One head's ancestry attention, fully in VMEM/registers.
+def _kernel(q_ref, k_ref, v_ref, anc_ref, m_ref, out_ref, *, kk: int):
+    """One window: q [1, H, K, D], k/v [1, K, H, D, S], anc [1, K, S],
+    mask [1, S] -> out [1, H, K, D] f32.
 
-    q_h [K, D] bf16 (softmax scale pre-folded); k_rows/v_rows: lists of
-    K [D, S] bf16 slices (one per source lane); sel [K, S] int32
-    ancestry row; m_row [1, S] f32 additive mask (0 / -inf).
-    Returns [K, D] f32.
-    """
-    k_cat = jnp.concatenate(k_rows, axis=-1)  # [D, K·S]
-    lg_all = jnp.dot(
-        q_h, k_cat, preferred_element_type=jnp.float32
-    )  # [K_j, K·S]: query lane j vs source lane i at lanes i·S + s
-    s = sel.shape[-1]
-    lg = jnp.where(sel == 0, lg_all[:, :s], 0.0)
+    Everything is hoisted out of the head dimension: the first cut of
+    this kernel looped 16 heads x ~20 small ops and measured
+    instruction-issue-bound at ~56 us/program (43 ms/step at
+    medium/b32-k5, nearly flat when the cache doubled — the work per
+    op was irrelevant next to issuing ~320 Mosaic ops). This form
+    issues ~30: one lane-concat per source lane shared by all heads,
+    two head-batched dot_generals, and single fused selects/softmax
+    over [H*K, S]."""
+    h, d = q_ref.shape[1], q_ref.shape[3]
+    s = anc_ref.shape[2]
+    sel = anc_ref[0]  # [K, S] int32
+    # concat the window's source lanes along lanes, once for all heads
+    k_cat = jnp.concatenate(
+        [k_ref[0, i].astype(jnp.bfloat16) for i in range(kk)], axis=-1
+    )  # [H, D, K·S]
+    v_cat = jnp.concatenate(
+        [v_ref[0, i].astype(jnp.bfloat16) for i in range(kk)], axis=-1
+    )
+    q3 = q_ref[0].astype(jnp.bfloat16)  # [H, K, D]
+    lg_all = jax.lax.dot_general(
+        q3, k_cat, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, K_j, K·S]: lane j vs source lane i at lanes i·S + s
+    lg_all = lg_all.reshape(h * kk, kk * s)
+    sel_h = jnp.tile(sel, (h, 1))  # [H·K, S]
+    lg = jnp.where(sel_h == 0, lg_all[:, :s], 0.0)
     for i in range(1, kk):
-        lg = lg + jnp.where(
-            sel == i, lg_all[:, i * s:(i + 1) * s], 0.0
-        )
-    lg = jnp.where(m_row >= 0.0, lg, _MASK_VALUE)  # [K, S]
+        lg = lg + jnp.where(sel_h == i, lg_all[:, i * s:(i + 1) * s], 0.0)
+    m_row = m_ref[0][None, :]  # [1, S] f32
+    lg = jnp.where(m_row >= 0.0, lg, _MASK_VALUE)  # [H·K, S]
     w = jax.nn.softmax(lg, axis=-1)  # f32
     # scatter each lane's weights back onto its source rows, then one
     # lane-axis contraction against the concatenated V
     w_all = jnp.concatenate(
-        [jnp.where(sel == i, w, 0.0) for i in range(kk)], axis=-1
-    ).astype(jnp.bfloat16)  # [K_j, K·S]
-    v_cat = jnp.concatenate(v_rows, axis=-1)  # [D, K·S]
-    return jax.lax.dot_general(
-        w_all, v_cat, (((1,), (1,)), ((), ())),
+        [jnp.where(sel_h == i, w, 0.0) for i in range(kk)], axis=-1
+    ).astype(jnp.bfloat16)  # [H·K, K·S]
+    out = jax.lax.dot_general(
+        w_all.reshape(h, kk, kk * s), v_cat,
+        (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # [K_j, D]
-
-
-def _kernel(q_ref, k_ref, v_ref, anc_ref, m_ref, out_ref, *, kk: int):
-    """One window: q [1, H, K, D], k/v [1, K, H, D, S], anc [1, K, S],
-    mask [1, S] -> out [1, H, K, D] f32."""
-    h = q_ref.shape[1]
-    sel = anc_ref[0]  # [K, S] int32
-    m_row = m_ref[0][None, :]  # [1, S] f32
-    for head in range(h):
-        q_h = q_ref[0, head].astype(jnp.bfloat16)  # [K, D]
-        k_rows = [
-            k_ref[0, i, head].astype(jnp.bfloat16) for i in range(kk)
-        ]
-        v_rows = [
-            v_ref[0, i, head].astype(jnp.bfloat16) for i in range(kk)
-        ]
-        out_ref[0, head] = _ancestry_head(
-            q_h, k_rows, v_rows, sel, m_row, kk
-        )
+    )  # [H, K_j, D]
+    out_ref[0] = out
 
 
 def _layered_kernel(
