@@ -333,7 +333,8 @@ def test_attach_word_timestamps_exact_partition(monkeypatch):
     import whisper_nemo_tpu.align.segmented as seg_mod
 
     monkeypatch.setattr(
-        align_api, "load_alignment_model", lambda dev: (None, None)
+        align_api, "load_alignment_model",
+        lambda dev, dtype=None: (None, None)
     )
     monkeypatch.setattr(
         seg_mod, "align_segments", lambda *a, **k: fake_words

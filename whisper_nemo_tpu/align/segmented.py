@@ -211,6 +211,11 @@ def align_segments(
         em_star_full, ((0, _T_BUCKETS[-1]), (0, 0)),
         constant_values=NEG_INF,
     )
+    if debug:
+        # force the emissions wave to attribute its wall time (debug
+        # only: the sync point removes dispatch/host overlap)
+        jax.block_until_ready(em_pad)
+    t_em_wait = _time.time()
 
     # build per-segment work items (text/labels on host; audio frames
     # stay device-resident — items carry only [t0, t1) indices)
@@ -254,6 +259,7 @@ def align_segments(
         )
         groups.setdefault(key, []).append(i)
 
+    t_items = _time.time()
     dispatched = []
     for (t_b, l_b), idxs in groups.items():
         t0s, t_effs, slabels, skips = [], [], [], []
@@ -298,6 +304,7 @@ def align_segments(
                 ((t_b, l_b), idxs[c0:c1], paths_dev, scores_dev)
             )
 
+    t_dispatch = _time.time()
     results: List[dict] = []
     for (t_b, l_b), idxs, paths_dev, scores_dev in dispatched:
         paths = np.asarray(paths_dev)
@@ -321,10 +328,14 @@ def align_segments(
         from ..utils import get_logger
 
         get_logger(__name__).info(
-            "align timing: emissions-dispatch=%.2fs device+post=%.2fs"
+            "align timing: emissions-dispatch=%.2fs emissions-wait=%.2fs"
+            " items=%.2fs viterbi-dispatch=%.2fs collect+post=%.2fs"
             " groups=%s",
             t_emissions - t_start,
-            _time.time() - t_emissions,
+            t_em_wait - t_emissions,
+            t_items - t_em_wait,
+            t_dispatch - t_items,
+            _time.time() - t_dispatch,
             {k: len(vs) for k, vs in groups.items()},
         )
     return results

@@ -58,7 +58,16 @@ def _attach_word_timestamps(
     ]
     if not timed:
         return
-    model, tokenizer = load_alignment_model("auto")
+    import jax as _jax
+
+    model, tokenizer = load_alignment_model(
+        "auto",
+        dtype=(
+            "bfloat16"
+            if _jax.devices()[0].platform in ("tpu", "axon")
+            else None
+        ),
+    )
     words = align_segments(
         model, tokenizer, audio, timed,
         language=langs_to_iso.get(language, "eng"),
