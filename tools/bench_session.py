@@ -226,6 +226,12 @@ STEPS = {
     "e2e4h_debug": lambda: _debug_timing_run(
         ["--seconds", "14400", "--compute-type", "int8", "--runs", "1"]
     ),
+    # r4: 1 h with per-stage align marks (emissions-wait / items /
+    # viterbi / post) — attributes the align stage after the wav2vec2
+    # flash-attention routing
+    "e2e_debug": lambda: _debug_timing_run(
+        ["--compute-type", "int8", "--runs", "1"]
+    ),
 }
 
 
