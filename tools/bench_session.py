@@ -218,6 +218,12 @@ STEPS = {
         {"WNT_SELF_KV_INT8": "1"}, ["--compute-type", "int8"]
     ),
     "beam": lambda: _run_mode(["--compute-type", "int8", "--beam", "5"]),
+    # r4: branch-parallel flow (BASELINE config 4 / diarize_parallel.py)
+    # at the hour scale — diarization concurrent with ASR+alignment,
+    # wall-clock RTF
+    "parallel": lambda: _run_mode(
+        ["--mode", "parallel", "--compute-type", "int8"]
+    ),
     "e2e4h": lambda: _run_mode(
         ["--seconds", "14400", "--compute-type", "int8", "--runs", "2"]
     ),
