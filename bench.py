@@ -15,6 +15,8 @@ Modes (VERDICT r1 #2/#3):
     python bench.py                     # 3600 s end-to-end + MFU
     python bench.py --seconds 300       # the r1 configuration
     python bench.py --mode sequential   # serving's window-serial path
+    python bench.py --model large-v3 --demucs --domain meeting
+                                        # BASELINE config 3
 
 Prints ONE JSON line:
   {"metric": "end_to_end_rtf", "value": N, "unit": "x_realtime",
@@ -129,6 +131,28 @@ def main() -> None:
         "dominant HBM stream again",
     )
     ap.add_argument(
+        "--model", default="medium.en",
+        help="whisper model name (BASELINE config 2 uses medium.en, "
+        "config 3 large-v3)",
+    )
+    ap.add_argument(
+        "--domain", default="telephonic",
+        choices=["telephonic", "meeting", "general"],
+        help="diarizer domain preset (e2e/parallel modes)",
+    )
+    ap.add_argument(
+        "--demucs", action="store_true",
+        help="run htdemucs vocal separation as a pre-stage at "
+        "production scale (BASELINE config 3; random-init params in "
+        "the zero-egress environment — the stage cost is real, the "
+        "separated stems are discarded and the pipeline consumes the "
+        "original 16 kHz audio)",
+    )
+    ap.add_argument(
+        "--demucs-batch", type=int, default=8,
+        help="7.8 s separation windows per device dispatch",
+    )
+    ap.add_argument(
         "--refresh", type=float, default=1.0,
         help="streaming mode: min seconds of new audio between decode "
         "refreshes (commit latency floors at ~agreement*refresh-chunk)",
@@ -172,7 +196,7 @@ def main() -> None:
         if peak else f"device {dev_kind} (peak unknown)")
 
     engine = WhisperEngine(
-        "medium.en", compute_type=args.compute_type, kv_bits=args.kv_bits
+        args.model, compute_type=args.compute_type, kv_bits=args.kv_bits
     )
 
     # single-mode runs unload on exit so one long-lived process can
@@ -209,7 +233,44 @@ def main() -> None:
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="wnt_bench_")
-    diarizer = NeuralDiarizer(create_config(tmp), force_large_models=True)
+    diarizer = NeuralDiarizer(
+        create_config(tmp, domain=args.domain), force_large_models=True
+    )
+
+    demucs_stage = None
+    if args.demucs:
+        # production-scale htdemucs (random init — zero egress), applied
+        # at the model's native 44.1 kHz on the same audio duration;
+        # vocals-only selection keeps HBM bounded, the stereo mix is
+        # uploaded once and reused across warmup + measured runs
+        from whisper_nemo_tpu.models.htdemucs import (
+            HTDemucsDims,
+            apply_segments,
+            init_htdemucs_params,
+        )
+
+        ddims = HTDemucsDims()
+        dparams = init_htdemucs_params(jax.random.PRNGKey(0), ddims)
+        base44 = decode_audio(fixture, sampling_rate=ddims.samplerate)
+        reps44 = int(np.ceil(audio_seconds * ddims.samplerate / len(base44)))
+        audio44 = np.tile(base44, reps44)[: audio_seconds * ddims.samplerate]
+        stereo44 = jnp.asarray(np.stack([audio44] * ddims.audio_channels))
+        del base44, audio44
+        vocals_i = ddims.sources.index("vocals")
+
+        def demucs_stage(tag, timings):
+            t0 = time.time()
+            vocals = apply_segments(
+                dparams, stereo44, ddims,
+                batch_size=args.demucs_batch,
+                source_indices=(vocals_i,),
+            )
+            timings["demucs"] = time.time() - t0
+            log(
+                f"{tag} demucs {timings['demucs']:.1f}s "
+                f"({vocals.shape[-1] / ddims.samplerate:.0f}s separated)"
+            )
+            del vocals
 
     # ~150 wpm synthetic transcript for the alignment stage (the ASR
     # text is unusable with random weights; the aligner cost depends on
@@ -288,12 +349,16 @@ def main() -> None:
             # config 4): diarization concurrent with ASR+alignment via
             # parallel.branch; on one chip both branches share the
             # device (the reference's single-GPU degradation) and the
-            # win is host/device overlap. RTF uses WALL time.
+            # win is host/device overlap. RTF uses WALL time. Stemming
+            # runs before the fork, exactly like the reference
+            # (diarize_parallel.py: demucs precedes the Popen).
             from whisper_nemo_tpu.parallel.branch import (
                 asr_and_diarization,
             )
 
             t_wall = time.time()
+            if demucs_stage is not None:
+                demucs_stage(tag, timings)
 
             def asr_branch(devices):
                 segments = asr_stage(tag, timings)
@@ -309,6 +374,8 @@ def main() -> None:
             timings["wall"] = time.time() - t_wall
             log(f"{tag} wall {timings['wall']:.1f}s (branch-parallel)")
         else:
+            if demucs_stage is not None:
+                demucs_stage(tag, timings)
             segments = asr_stage(tag, timings)
             word_ts = align_stage(tag, timings)
             turns = diarize_stage(tag, timings)

@@ -325,6 +325,57 @@ def test_apply_segments_overlap_add(small_model):
     assert np.isfinite(out).all()
 
 
+def _apply_segments_loop(params, wave, dims, overlap):
+    """Straight per-window host loop (demucs apply_model semantics) —
+    the reference implementation the batched device path must match."""
+    seg = int(dims.segment * dims.samplerate)
+    stride = int((1 - overlap) * seg)
+    length = wave.shape[-1]
+    tri = np.concatenate(
+        [np.arange(1, seg // 2 + 1), np.arange(seg - seg // 2, 0, -1)]
+    ).astype(np.float32)
+    tri /= tri.max()
+    out = np.zeros((len(dims.sources),) + wave.shape, np.float32)
+    weight = np.zeros((length,), np.float32)
+    for start in range(0, length, stride):
+        chunk = wave[..., start : start + seg]
+        n = chunk.shape[-1]
+        if n < seg:
+            chunk = np.pad(chunk, [(0, 0), (0, seg - n)])
+        y = np.asarray(
+            htdemucs_forward(params, jnp.asarray(chunk[None]), SMALL)[0],
+            np.float32,
+        )[..., :n]
+        out[..., start : start + n] += tri[:n] * y
+        weight[start : start + n] += tri[:n]
+        if start + seg >= length:
+            break
+    return out / np.maximum(weight, 1e-8)
+
+
+def test_apply_segments_batched_matches_loop(small_model):
+    """The batched device overlap-add (window batching, masked tail
+    batch, device-resident accumulation, source selection) is exactly
+    the per-window loop."""
+    rng = np.random.default_rng(10)
+    # 5 windows (seg 8000 / stride 6000) so batch_size=2 exercises both
+    # full batches and a masked tail slot
+    wave = (rng.standard_normal((2, 31000)) * 0.2).astype(np.float32)
+    ref = _apply_segments_loop(small_model, wave, SMALL, overlap=0.25)
+    got = apply_segments(
+        small_model, wave, SMALL, overlap=0.25, batch_size=2
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    vocals_i = SMALL.sources.index("vocals")
+    got_v = apply_segments(
+        small_model, wave, SMALL, overlap=0.25, batch_size=2,
+        source_indices=(vocals_i,),
+    )
+    assert got_v.shape == (1, 2, 31000)
+    np.testing.assert_allclose(got_v[0], ref[vocals_i], rtol=2e-4, atol=2e-5)
+
+
 # -- composed forward vs a line-by-line torch transcription -------------------
 
 

@@ -167,3 +167,48 @@ def test_self_kv_int8_decode_close_to_float(setup, beam):
     np.testing.assert_allclose(
         np.asarray(lp_q), np.asarray(lp_f), rtol=0.05, atol=0.05
     )
+
+
+@pytest.mark.parametrize("layer_chunk", [1, 2, 3])
+@pytest.mark.parametrize("quantized_weights", [False, True])
+def test_fused_decode_layout_matches_two_step(
+    setup, layer_chunk, quantized_weights
+):
+    """cross_kv_decode_layout_fused (layer-chunked lax.map, the
+    HBM-bounded prefill that large-v3 b32 requires) is bit-identical
+    to the two-step cross_attention_kv_stacked →
+    quantize_cross_kv_decode_layout form, for every chunking and for
+    bf16 / int8-weight projections."""
+    from whisper_nemo_tpu.engine.quantize import quantize_whisper_params
+    from whisper_nemo_tpu.models.whisper_stacked import (
+        cross_attention_kv_stacked,
+        cross_kv_decode_layout_fused,
+        quantize_cross_kv_decode_layout,
+    )
+
+    params, dims, audio = setup
+    if quantized_weights:
+        params = quantize_whisper_params(params)
+    stacked = stack_decoder_blocks(params)
+
+    ref = quantize_cross_kv_decode_layout(
+        cross_attention_kv_stacked(stacked, audio, dims)
+    )
+    got = cross_kv_decode_layout_fused(
+        stacked, audio, dims, layer_chunk=layer_chunk
+    )
+    assert got["_k_len"] == ref["_k_len"] == audio.shape[1]
+    assert got["_bits"] == 8
+    np.testing.assert_array_equal(
+        np.asarray(got["kv_dec"]), np.asarray(ref["kv_dec"])
+    )
+    # scales agree to 1 ulp (XLA fuses the amax reduction differently
+    # inside lax.map); the int8 values above are bit-identical
+    np.testing.assert_allclose(
+        np.asarray(got["k_dec_scale"]), np.asarray(ref["k_dec_scale"]),
+        rtol=2e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["v_dec_scale"]), np.asarray(ref["v_dec_scale"]),
+        rtol=2e-7,
+    )

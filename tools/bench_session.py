@@ -224,6 +224,17 @@ STEPS = {
     "parallel": lambda: _run_mode(
         ["--mode", "parallel", "--compute-type", "int8"]
     ),
+    # BASELINE config 3: large-v3 + htdemucs vocal separation + the
+    # meeting diarizer preset (demucs smoked at 300 s first — the
+    # production-scale separator has never run on this chip)
+    "config3_smoke": lambda: _run_mode(
+        ["--seconds", "300", "--model", "large-v3", "--demucs",
+         "--domain", "meeting", "--compute-type", "int8", "--runs", "2"]
+    ),
+    "config3": lambda: _run_mode(
+        ["--model", "large-v3", "--demucs", "--domain", "meeting",
+         "--compute-type", "int8", "--runs", "2"]
+    ),
     "e2e4h": lambda: _run_mode(
         ["--seconds", "14400", "--compute-type", "int8", "--runs", "2"]
     ),

@@ -195,23 +195,25 @@ def greedy_decode(
     if stacked:
         from ..models.whisper_stacked import (
             cross_attention_kv_stacked,
+            cross_kv_decode_layout_fused,
             decode_step_stacked,
             init_stacked_cache,
-            quantize_cross_kv_decode_layout,
             quantize_cross_kv_stacked,
         )
 
-        cross_kv = cross_attention_kv_stacked(params, audio, dims)
-        if kv_int8:
+        if kv_int8 and jax.devices()[0].platform in ("tpu", "axon"):
             # the Pallas flash-decode layout needs a real TPU; the
             # CPU/interpret path keeps the einsum-friendly layout
             # (interpret-mode Pallas inside the decode loop is ~100x
-            # slower than the einsum on CPU)
-            if jax.devices()[0].platform in ("tpu", "axon"):
-                cross_kv = quantize_cross_kv_decode_layout(
-                    cross_kv, bits=kv_bits
-                )
-            else:
+            # slower than the einsum on CPU). Projection + quantization
+            # run fused per layer chunk — materializing every layer's
+            # f32 K/V at once OOMs at large-v3 batch 32
+            cross_kv = cross_kv_decode_layout_fused(
+                params, audio, dims, bits=kv_bits
+            )
+        else:
+            cross_kv = cross_attention_kv_stacked(params, audio, dims)
+            if kv_int8:
                 cross_kv = quantize_cross_kv_stacked(
                     cross_kv, bits=kv_bits
                 )
@@ -422,20 +424,22 @@ def beam_decode(
     if stacked:
         from ..models.whisper_stacked import (
             cross_attention_kv_stacked,
+            cross_kv_decode_layout_fused,
             decode_step_stacked,
             init_stacked_cache,
             prefill_cache_stacked,
-            quantize_cross_kv_decode_layout,
             quantize_cross_kv_stacked,
         )
 
-        base_kv = cross_attention_kv_stacked(params, audio, dims)
-        if kv_int8:
-            if jax.devices()[0].platform in ("tpu", "axon"):
-                base_kv = quantize_cross_kv_decode_layout(
-                    base_kv, bits=kv_bits
-                )
-            else:
+        if kv_int8 and jax.devices()[0].platform in ("tpu", "axon"):
+            # fused per-layer-chunk projection+quantization (see the
+            # greedy path: the all-layers f32 K/V OOMs at large-v3 b32)
+            base_kv = cross_kv_decode_layout_fused(
+                params, audio, dims, bits=kv_bits
+            )
+        else:
+            base_kv = cross_attention_kv_stacked(params, audio, dims)
+            if kv_int8:
                 base_kv = quantize_cross_kv_stacked(
                     base_kv, bits=kv_bits
                 )

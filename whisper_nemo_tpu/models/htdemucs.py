@@ -763,14 +763,38 @@ def apply_segments(
     wave: np.ndarray,
     dims: HTDemucsDims,
     overlap: float = 0.25,
+    batch_size: int = 8,
+    source_indices: Tuple[int, ...] | None = None,
 ) -> np.ndarray:
-    """[C, T] mix → [S, C, T]: demucs apply_model's split contract —
+    """[C, T] mix → [S', C, T]: demucs apply_model's split contract —
     fixed ``segment``-long windows, triangular cross-fade weights,
     zero-padded tail (use_train_segment keeps every window at the
-    trained length, so one XLA compilation serves the whole file)."""
+    trained length, so one XLA compilation serves the whole file).
+
+    TPU-first execution: the waveform is uploaded ONCE, ``batch_size``
+    windows run per dispatch, and the triangular overlap-add
+    accumulates into device-resident output/weight buffers — the
+    per-window host round-trip and the [S, C, T] host accumulation of
+    a naive loop would cost tens of seconds per audio-hour on the
+    device tunnel. ``source_indices`` keeps only the requested sources
+    (e.g. vocals) so HBM never holds stems the caller discards."""
     seg = int(dims.segment * dims.samplerate)
     stride = int((1 - overlap) * seg)
     length = wave.shape[-1]
+    n_ch = wave.shape[0]
+
+    starts = []
+    for start in range(0, length, stride):
+        starts.append(start)
+        if start + seg >= length:
+            break
+
+    src_idx = (
+        tuple(range(len(dims.sources)))
+        if source_indices is None
+        else tuple(source_indices)
+    )
+    n_src = len(src_idx)
 
     tri = np.concatenate(
         [
@@ -779,25 +803,67 @@ def apply_segments(
         ]
     ).astype(np.float32)
     tri /= tri.max()
+    tri_dev = jnp.asarray(tri)
+    idx_dev = jnp.asarray(np.asarray(src_idx, np.int32))
+
+    # one padded upload; every window slice stays on device
+    pad_len = starts[-1] + seg
+    padded = jnp.pad(jnp.asarray(wave), [(0, 0), (0, pad_len - length)])
+
+    bsz = max(1, min(batch_size, len(starts)))
+
+    # params/padded/tri enter as ARGUMENTS, not closure constants: jit
+    # constants are serialized into the (remote) compile request, and
+    # the full-mix upload + model tree measured hundreds of MB — the
+    # axon compile endpoint rejects the body with HTTP 413
+    @jax.jit
+    def run_batch(params, padded, tri_dev, out, weight, batch_starts, live):
+        def get(s):
+            return jax.lax.dynamic_slice(padded, (0, s), (n_ch, seg))
+
+        chunks = jax.lax.map(get, batch_starts)  # [B, C, seg]
+        y = htdemucs_forward(params, chunks, dims)  # [B, S, C, seg]
+        y = jnp.take(y, idx_dev, axis=1) * tri_dev
+
+        def body(i, carry):
+            out, weight = carry
+            s = batch_starts[i]
+            gate = live[i].astype(y.dtype)
+            cur = jax.lax.dynamic_slice(out, (0, 0, s), (n_src, n_ch, seg))
+            out = jax.lax.dynamic_update_slice(
+                out, cur + gate * y[i], (0, 0, s)
+            )
+            wcur = jax.lax.dynamic_slice(weight, (s,), (seg,))
+            weight = jax.lax.dynamic_update_slice(
+                weight, wcur + gate * tri_dev, (s,)
+            )
+            return out, weight
+
+        return jax.lax.fori_loop(0, bsz, body, (out, weight))
+
+    out = jnp.zeros((n_src, n_ch, pad_len), jnp.float32)
+    weight = jnp.zeros((pad_len,), jnp.float32)
+    for b0 in range(0, len(starts), bsz):
+        batch = starts[b0 : b0 + bsz]
+        live = [1.0] * len(batch)
+        while len(batch) < bsz:  # fill the tail batch, masked out
+            batch.append(batch[-1])
+            live.append(0.0)
+        out, weight = run_batch(
+            params,
+            padded,
+            tri_dev,
+            out,
+            weight,
+            jnp.asarray(np.asarray(batch, np.int32)),
+            jnp.asarray(np.asarray(live, np.float32)),
+        )
 
     @jax.jit
-    def run(chunk):
-        return htdemucs_forward(params, chunk[None], dims)[0]
+    def finish(out, weight):
+        return out[..., :length] / jnp.maximum(weight[:length], 1e-8)
 
-    n_src = len(dims.sources)
-    out = np.zeros((n_src,) + wave.shape, np.float32)
-    weight = np.zeros((length,), np.float32)
-    for start in range(0, length, stride):
-        chunk = wave[..., start : start + seg]
-        n = chunk.shape[-1]
-        if n < seg:
-            chunk = np.pad(chunk, [(0, 0), (0, seg - n)])
-        y = np.asarray(run(jnp.asarray(chunk)), np.float32)[..., :n]
-        out[..., start : start + n] += tri[:n] * y
-        weight[start : start + n] += tri[:n]
-        if start + seg >= length:
-            break
-    return out / np.maximum(weight, 1e-8)
+    return np.asarray(finish(out, weight), np.float32)
 
 
 def separate_vocals(
@@ -843,8 +909,11 @@ def separate_vocals(
 
     wave = decode_audio(audio_path, sampling_rate=dims.samplerate)
     stereo = np.stack([wave] * dims.audio_channels)
-    sources = apply_segments(params, stereo, dims)
-    vocals = sources[dims.sources.index("vocals")].mean(axis=0)
+    sources = apply_segments(
+        params, stereo, dims,
+        source_indices=(dims.sources.index("vocals"),),
+    )
+    vocals = sources[0].mean(axis=0)
 
     track = os.path.splitext(os.path.basename(audio_path))[0]
     target_dir = os.path.join(out_dir, "htdemucs", track)

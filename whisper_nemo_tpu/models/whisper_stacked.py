@@ -46,51 +46,125 @@ def stack_cross_kv(cross_kv: List[dict]) -> dict:
     return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *cross_kv)
 
 
+def _proj_layers(p: Dict[str, Any], audio: jnp.ndarray, h: int, hd: int):
+    """[B, T, D] audio × layer-stacked projection params (leading axis
+    = however many layers the caller stacked) → [l, B, T, H, Dh]."""
+    b, t, _ = audio.shape
+    if "w_qm" in p:
+        # int8×int8 MXU einsum: activations quantized per (b, t)
+        # row at runtime (models.whisper._w8a8_dot, batched over
+        # the stacked layer axis)
+        x32 = audio.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+        s_x = jnp.maximum(amax / 127.0, 1e-8)
+        x_q = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+        y = jnp.einsum(
+            "btd,lde->lbte", x_q, p["w_qm"],
+            preferred_element_type=jnp.int32,
+        )
+        y = (
+            y.astype(jnp.float32)
+            * s_x[None]
+            * p["scale"][:, None, None, :]
+        ).astype(audio.dtype)
+    elif "w_q" in p:  # int8 weight-quantized linears
+        y = jnp.einsum(
+            "btd,lde->lbte", audio, p["w_q"].astype(audio.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(audio.dtype) * p["scale"][:, None, None, :].astype(
+            audio.dtype
+        )
+    else:
+        y = jnp.einsum(
+            "btd,lde->lbte", audio, p["w"].astype(audio.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(audio.dtype)
+    if "b" in p:
+        y = y + p["b"][:, None, None, :]
+    return y.reshape(-1, b, t, h, hd)
+
+
 def cross_attention_kv_stacked(
     params: Dict[str, Any], audio: jnp.ndarray, dims: WhisperDims
 ) -> dict:
     """Cross-attention K/V for all layers in one einsum each:
     [L, B, T, H, Dh] stacked arrays."""
     ca = params["decoder"]["blocks_stacked"]["cross_attn"]
+    h = dims.n_text_head
+    hd = dims.n_text_state // h
+    return {
+        "k": _proj_layers(ca["k"], audio, h, hd),
+        "v": _proj_layers(ca["v"], audio, h, hd),
+    }
+
+
+def cross_kv_decode_layout_fused(
+    params: Dict[str, Any],
+    audio: jnp.ndarray,
+    dims: WhisperDims,
+    bits: int = 8,
+    layer_chunk: int = 8,
+) -> dict:
+    """Cross-KV projection fused with decode-layout quantization,
+    ``layer_chunk`` layers at a time under ``lax.map``.
+
+    Numerically identical to ``cross_attention_kv_stacked`` →
+    ``quantize_cross_kv_decode_layout`` (the int8 scales are per
+    (layer, head, channel), so per-chunk quantization sees exactly the
+    same reduction), but the peak f32 K/V temporaries shrink from
+    [L, B, T, H, D] to [chunk, B, T, H, D]: the two-step form OOM'd the
+    16 GB chip at large-v3 b32 (two 7.3 GB f32 intermediates + the
+    1.8 GB int8 output > HBM) while the production buffers themselves
+    fit comfortably."""
+    from ..ops.cross_decode import pack_int4
+
+    ca = params["decoder"]["blocks_stacked"]["cross_attn"]
     b, t, _ = audio.shape
     h = dims.n_text_head
     hd = dims.n_text_state // h
+    n_layers = dims.n_text_layer
+    chunk = max(
+        d for d in range(1, min(layer_chunk, n_layers) + 1)
+        if n_layers % d == 0
+    )
+    n_chunks = n_layers // chunk
+    ca_chunked = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), ca
+    )
+    t_pad = -t % 128
+    qmax = 127.0 if bits == 8 else 7.0
 
-    def proj(p):
-        if "w_qm" in p:
-            # int8×int8 MXU einsum: activations quantized per (b, t)
-            # row at runtime (models.whisper._w8a8_dot, batched over
-            # the stacked layer axis)
-            x32 = audio.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-            s_x = jnp.maximum(amax / 127.0, 1e-8)
-            x_q = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
-            y = jnp.einsum(
-                "btd,lde->lbte", x_q, p["w_qm"],
-                preferred_element_type=jnp.int32,
-            )
-            y = (
-                y.astype(jnp.float32)
-                * s_x[None]
-                * p["scale"][:, None, None, :]
-            ).astype(audio.dtype)
-        elif "w_q" in p:  # int8 weight-quantized linears
-            y = jnp.einsum(
-                "btd,lde->lbte", audio, p["w_q"].astype(audio.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(audio.dtype) * p["scale"][:, None, None, :].astype(
-                audio.dtype
-            )
-        else:
-            y = jnp.einsum(
-                "btd,lde->lbte", audio, p["w"].astype(audio.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(audio.dtype)
-        if "b" in p:
-            y = y + p["b"][:, None, None, :]
-        return y.reshape(-1, b, t, h, hd)
+    def quant(x):  # [chunk, B, T, H, Dh] → decode layout + scales
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=(1, 2))  # [chunk, H, Dh]
+        scale = jnp.where(amax > 0, amax / qmax, 1.0)
+        q = jnp.clip(
+            jnp.round(xf / scale[:, None, None]), -qmax, qmax
+        ).astype(jnp.int8)
+        q = jnp.pad(
+            q.transpose(0, 1, 3, 4, 2), ((0, 0),) * 4 + ((0, t_pad),)
+        )
+        if bits == 4:
+            q = pack_int4(q, axis=3)
+        return q, scale.astype(jnp.float32)
 
-    return {"k": proj(ca["k"]), "v": proj(ca["v"])}
+    def body(p_chunk):
+        k_q, k_scale = quant(_proj_layers(p_chunk["k"], audio, h, hd))
+        v_q, v_scale = quant(_proj_layers(p_chunk["v"], audio, h, hd))
+        return jnp.concatenate([k_q, v_q], axis=3), k_scale, v_scale
+
+    kv_dec, k_scale, v_scale = jax.lax.map(body, ca_chunked)
+
+    def merge(x):  # [n_chunks, chunk, ...] → [L, ...]
+        return x.reshape((n_layers,) + x.shape[2:])
+
+    return {
+        "kv_dec": merge(kv_dec),
+        "k_dec_scale": merge(k_scale),
+        "v_dec_scale": merge(v_scale),
+        "_k_len": t,
+        "_bits": bits,
+    }
 
 
 def quantize_cross_kv_decode_layout(cross_kv: dict, bits: int = 8) -> dict:
