@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine.checkpoint import load_params, model_cache_dir
+from ..ops.framing import frame_signal
 from ..utils import get_logger
 
 logger = get_logger(__name__)
@@ -198,36 +199,65 @@ def _hann(n):
 
 def _stft(x: jnp.ndarray, nfft: int, hop: int) -> jnp.ndarray:
     """torch.stft(center=True, pad_mode='reflect', normalized=True,
-    hann window) on [..., T] → complex [..., nfft//2+1, frames]."""
+    hann window) on [..., T] → complex [..., nfft//2+1, frames].
+
+    Framing goes through ops.framing.frame_signal (shifted reshapes):
+    the index-matrix gather this used in r1–r3 runs ~100× below copy
+    speed on TPU and dominated the whole separation stage (the 300 s
+    smoke spent 34.6 s in demucs before this rewrite)."""
     pad = nfft // 2
     x = jnp.pad(
         x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect"
     )
     n_frames = 1 + (x.shape[-1] - nfft) // hop
-    idx = jnp.arange(nfft)[None, :] + hop * jnp.arange(n_frames)[:, None]
-    frames = x[..., idx] * _hann(nfft)  # [..., frames, nfft]
-    z = jnp.fft.rfft(frames, axis=-1) / math.sqrt(nfft)
+    lead = x.shape[:-1]
+    frames = frame_signal(
+        x.reshape((-1, x.shape[-1])), n_frames, nfft, hop
+    )  # [prod(lead), n_frames, nfft]
+    frames = frames * _hann(nfft).astype(frames.dtype)
+    # XLA RFFT is f32-only; bf16 activations cast up for the transform
+    z = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1) / math.sqrt(nfft)
+    z = z.reshape(lead + z.shape[1:])
     return jnp.swapaxes(z, -1, -2)  # [..., bins, frames]
 
 
 def _istft(z: jnp.ndarray, nfft: int, hop: int, length: int) -> jnp.ndarray:
     """torch.istft(center=True, normalized=True, hann) inverse: complex
-    [..., bins, frames] → [..., length]."""
+    [..., bins, frames] → [..., length].
+
+    Scatter-free overlap-add: column block ``q`` of every frame is a
+    contiguous hop-strided run of the output (the exact inverse of
+    frame_signal's shifted reshapes), so the add is ``ceil(nfft/hop)``
+    pad+add passes instead of a 1.4 M-index scatter-add (TPU scatters
+    run orders of magnitude below copy speed). The window-overlap
+    normalization is data-independent and precomputed host-side."""
     frames = jnp.fft.irfft(jnp.swapaxes(z, -1, -2), n=nfft, axis=-1)
     frames = frames * math.sqrt(nfft)
     win = _hann(nfft)
-    frames = frames * win
+    frames = frames * win.astype(frames.dtype)
     n_frames = frames.shape[-2]
     total = nfft + hop * (n_frames - 1)
-    idx = jnp.arange(nfft)[None, :] + hop * jnp.arange(n_frames)[:, None]
     lead = frames.shape[:-2]
     flat = frames.reshape((-1, n_frames, nfft))
     out = jnp.zeros((flat.shape[0], total), flat.dtype)
-    out = out.at[:, idx.reshape(-1)].add(flat.reshape(flat.shape[0], -1))
-    norm = jnp.zeros((total,)).at[idx.reshape(-1)].add(
-        jnp.tile(win * win, n_frames)
-    )
-    out = out / jnp.maximum(norm, 1e-11)
+    for q_start in range(0, nfft, hop):
+        width = min(hop, nfft - q_start)
+        block = flat[:, :, q_start : q_start + width]
+        if width < hop:  # ragged tail block: pad columns to a full hop
+            block = jnp.pad(block, ((0, 0), (0, 0), (0, hop - width)))
+        span = n_frames * hop
+        contrib = jnp.pad(
+            block.reshape(flat.shape[0], span),
+            ((0, 0), (q_start, total - q_start - span)),
+        )
+        out = out + contrib[:, :total]
+
+    # window-squared overlap norm: static per (nfft, hop, n_frames)
+    win_np = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nfft) / nfft)
+    norm = np.zeros((total,), np.float64)
+    for t in range(n_frames):
+        norm[t * hop : t * hop + nfft] += win_np * win_np
+    out = out / jnp.asarray(np.maximum(norm, 1e-11), out.dtype)
     pad = nfft // 2
     out = out[:, pad : pad + length]
     return out.reshape(lead + (length,))
