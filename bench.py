@@ -258,19 +258,31 @@ def main() -> None:
         del base44, audio44
         vocals_i = ddims.sources.index("vocals")
 
+        from whisper_nemo_tpu.ops.resample import resample_poly
+
         def demucs_stage(tag, timings):
+            # full device-resident handoff: stems never leave HBM —
+            # mono-mix + 44.1k→16k polyphase resample on device yields
+            # the waveform the downstream stages consume (downloading
+            # the stereo stems costs 30-50 s/h on the ~35 MB/s tunnel)
             t0 = time.time()
             vocals = apply_segments(
                 dparams, stereo44, ddims,
                 batch_size=args.demucs_batch,
                 source_indices=(vocals_i,),
+                device_out=True,
             )
+            v16 = resample_poly(
+                vocals[0].mean(axis=0), ddims.samplerate, 16000
+            )
+            v16.block_until_ready()
             timings["demucs"] = time.time() - t0
             log(
                 f"{tag} demucs {timings['demucs']:.1f}s "
-                f"({vocals.shape[-1] / ddims.samplerate:.0f}s separated)"
+                f"({v16.shape[-1] / 16000:.0f}s separated, 16 kHz mono "
+                f"on device)"
             )
-            del vocals
+            del vocals, v16
 
     # ~150 wpm synthetic transcript for the alignment stage (the ASR
     # text is unusable with random weights; the aligner cost depends on

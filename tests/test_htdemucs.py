@@ -375,6 +375,15 @@ def test_apply_segments_batched_matches_loop(small_model):
     assert got_v.shape == (1, 2, 31000)
     np.testing.assert_allclose(got_v[0], ref[vocals_i], rtol=2e-4, atol=2e-5)
 
+    got_dev = apply_segments(
+        small_model, wave, SMALL, overlap=0.25, batch_size=2,
+        source_indices=(vocals_i,), device_out=True,
+    )
+    assert isinstance(got_dev, jnp.ndarray)
+    np.testing.assert_allclose(
+        np.asarray(got_dev), got_v, rtol=1e-6, atol=1e-7
+    )
+
 
 # -- composed forward vs a line-by-line torch transcription -------------------
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -795,6 +796,7 @@ def apply_segments(
     overlap: float = 0.25,
     batch_size: int = 8,
     source_indices: Tuple[int, ...] | None = None,
+    device_out: bool = False,
 ) -> np.ndarray:
     """[C, T] mix → [S', C, T]: demucs apply_model's split contract —
     fixed ``segment``-long windows, triangular cross-fade weights,
@@ -803,11 +805,15 @@ def apply_segments(
 
     TPU-first execution: the waveform is uploaded ONCE, ``batch_size``
     windows run per dispatch, and the triangular overlap-add
-    accumulates into device-resident output/weight buffers — the
-    per-window host round-trip and the [S, C, T] host accumulation of
-    a naive loop would cost tens of seconds per audio-hour on the
+    accumulates into donated device-resident output/weight buffers —
+    the per-window host round-trip and the [S, C, T] host accumulation
+    of a naive loop would cost tens of seconds per audio-hour on the
     device tunnel. ``source_indices`` keeps only the requested sources
-    (e.g. vocals) so HBM never holds stems the caller discards."""
+    (e.g. vocals) so HBM never holds stems the caller discards.
+    ``device_out=True`` returns the jax array without downloading —
+    the stems themselves are ~1.3 GB/h of stereo f32, another 30-50 s
+    of tunnel time a device-resident consumer (ops.resample →
+    whisper/VAD) never needs to pay."""
     seg = int(dims.segment * dims.samplerate)
     stride = int((1 - overlap) * seg)
     length = wave.shape[-1]
@@ -845,8 +851,17 @@ def apply_segments(
     # params/padded/tri enter as ARGUMENTS, not closure constants: jit
     # constants are serialized into the (remote) compile request, and
     # the full-mix upload + model tree measured hundreds of MB — the
-    # axon compile endpoint rejects the body with HTTP 413
-    @jax.jit
+    # axon compile endpoint rejects the body with HTTP 413. The
+    # accumulators are donated so each dispatch updates the hour-scale
+    # [S', C, T] buffer in place instead of copying it (CPU ignores
+    # donation with a warning, so gate it on the platform).
+    _donate = (
+        (3, 4)
+        if jax.devices()[0].platform in ("tpu", "axon")
+        else ()
+    )
+
+    @partial(jax.jit, donate_argnums=_donate)
     def run_batch(params, padded, tri_dev, out, weight, batch_starts, live):
         def get(s):
             return jax.lax.dynamic_slice(padded, (0, s), (n_ch, seg))
@@ -893,7 +908,8 @@ def apply_segments(
     def finish(out, weight):
         return out[..., :length] / jnp.maximum(weight[:length], 1e-8)
 
-    return np.asarray(finish(out, weight), np.float32)
+    result = finish(out, weight)
+    return result if device_out else np.asarray(result, np.float32)
 
 
 def separate_vocals(
