@@ -31,7 +31,7 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -789,6 +789,64 @@ def infer_dims(flat_state: Dict[str, np.ndarray]) -> HTDemucsDims:
 # -- long-audio application -----------------------------------------------------
 
 
+@lru_cache(maxsize=8)
+def _apply_batch_fn(
+    dims: HTDemucsDims,
+    n_ch: int,
+    bsz: int,
+    src_idx: Tuple[int, ...],
+    donate: bool,
+):
+    """Module-level cache for apply_segments' jitted window-batch step.
+
+    jax.jit keys its trace/executable cache on the FUNCTION OBJECT: a
+    jit defined inside apply_segments is a fresh closure per call, so
+    every application of the separator re-traced the 850-line forward
+    and re-submitted the XLA compile — measured as ~30 s of *fixed*
+    per-call cost on the axon path (the first config-3 bench: 35 s
+    demucs stage at 300 s of audio vs 47 s at 3600 s). Hoisting the
+    jit here makes repeat applications hit the cache like any other
+    production dispatch.
+
+    params/padded/tri enter as ARGUMENTS, not closure constants: jit
+    constants are serialized into the (remote) compile request, and
+    the full-mix upload + model tree measured hundreds of MB — the
+    axon compile endpoint rejects the body with HTTP 413. The
+    accumulators are donated so each dispatch updates the hour-scale
+    [S', C, T] buffer in place instead of copying it (CPU ignores
+    donation with a warning, so gate it on the platform)."""
+    seg = int(dims.segment * dims.samplerate)
+    n_src = len(src_idx)
+    idx_dev = jnp.asarray(np.asarray(src_idx, np.int32))
+
+    @partial(jax.jit, donate_argnums=(3, 4) if donate else ())
+    def run_batch(params, padded, tri_dev, out, weight, batch_starts, live):
+        def get(s):
+            return jax.lax.dynamic_slice(padded, (0, s), (n_ch, seg))
+
+        chunks = jax.lax.map(get, batch_starts)  # [B, C, seg]
+        y = htdemucs_forward(params, chunks, dims)  # [B, S, C, seg]
+        y = jnp.take(y, idx_dev, axis=1) * tri_dev
+
+        def body(i, carry):
+            out, weight = carry
+            s = batch_starts[i]
+            gate = live[i].astype(y.dtype)
+            cur = jax.lax.dynamic_slice(out, (0, 0, s), (n_src, n_ch, seg))
+            out = jax.lax.dynamic_update_slice(
+                out, cur + gate * y[i], (0, 0, s)
+            )
+            wcur = jax.lax.dynamic_slice(weight, (s,), (seg,))
+            weight = jax.lax.dynamic_update_slice(
+                weight, wcur + gate * tri_dev, (s,)
+            )
+            return out, weight
+
+        return jax.lax.fori_loop(0, bsz, body, (out, weight))
+
+    return run_batch
+
+
 def apply_segments(
     params: Dict[str, Any],
     wave: np.ndarray,
@@ -840,7 +898,6 @@ def apply_segments(
     ).astype(np.float32)
     tri /= tri.max()
     tri_dev = jnp.asarray(tri)
-    idx_dev = jnp.asarray(np.asarray(src_idx, np.int32))
 
     # one padded upload; every window slice stays on device
     pad_len = starts[-1] + seg
@@ -848,43 +905,13 @@ def apply_segments(
 
     bsz = max(1, min(batch_size, len(starts)))
 
-    # params/padded/tri enter as ARGUMENTS, not closure constants: jit
-    # constants are serialized into the (remote) compile request, and
-    # the full-mix upload + model tree measured hundreds of MB — the
-    # axon compile endpoint rejects the body with HTTP 413. The
-    # accumulators are donated so each dispatch updates the hour-scale
-    # [S', C, T] buffer in place instead of copying it (CPU ignores
-    # donation with a warning, so gate it on the platform).
-    _donate = (
-        (3, 4)
-        if jax.devices()[0].platform in ("tpu", "axon")
-        else ()
+    run_batch = _apply_batch_fn(
+        dims,
+        n_ch,
+        bsz,
+        src_idx,
+        jax.devices()[0].platform in ("tpu", "axon"),
     )
-
-    @partial(jax.jit, donate_argnums=_donate)
-    def run_batch(params, padded, tri_dev, out, weight, batch_starts, live):
-        def get(s):
-            return jax.lax.dynamic_slice(padded, (0, s), (n_ch, seg))
-
-        chunks = jax.lax.map(get, batch_starts)  # [B, C, seg]
-        y = htdemucs_forward(params, chunks, dims)  # [B, S, C, seg]
-        y = jnp.take(y, idx_dev, axis=1) * tri_dev
-
-        def body(i, carry):
-            out, weight = carry
-            s = batch_starts[i]
-            gate = live[i].astype(y.dtype)
-            cur = jax.lax.dynamic_slice(out, (0, 0, s), (n_src, n_ch, seg))
-            out = jax.lax.dynamic_update_slice(
-                out, cur + gate * y[i], (0, 0, s)
-            )
-            wcur = jax.lax.dynamic_slice(weight, (s,), (seg,))
-            weight = jax.lax.dynamic_update_slice(
-                weight, wcur + gate * tri_dev, (s,)
-            )
-            return out, weight
-
-        return jax.lax.fori_loop(0, bsz, body, (out, weight))
 
     out = jnp.zeros((n_src, n_ch, pad_len), jnp.float32)
     weight = jnp.zeros((pad_len,), jnp.float32)
@@ -904,11 +931,9 @@ def apply_segments(
             jnp.asarray(np.asarray(live, np.float32)),
         )
 
-    @jax.jit
-    def finish(out, weight):
-        return out[..., :length] / jnp.maximum(weight[:length], 1e-8)
-
-    result = finish(out, weight)
+    # two device ops; a per-call jit here would retrace every
+    # application (same trap as run_batch) for no fusion win
+    result = out[..., :length] / jnp.maximum(weight[:length], 1e-8)
     return result if device_out else np.asarray(result, np.float32)
 
 
