@@ -7,10 +7,13 @@ aligner can absorb untranscribed audio.
 
 Romanization: the upstream tool shells out to uroman (Perl). Here
 ``align.uroman`` transliterates Cyrillic/Greek/Hebrew/Arabic/kana/
-Hangul/Devanagari host-side and the Latin-diacritic range is NFKD-
-stripped; remaining unmapped scripts (Han ideographs) fall back to the
-CTC dictionary's ``<star>`` wildcard, which keeps alignment defined if
-not exact uroman output.
+Hangul/Han(pinyin)/Devanagari plus — via ``align.uroman_ext`` — the
+remaining Indic abugidas (Bengali/Gurmukhi/Gujarati/Oriya/Tamil/
+Telugu/Kannada/Malayalam/Sinhala), Thai, Lao, Khmer, Myanmar, and
+Ethiopic, host-side; the Latin-diacritic range is NFKD-stripped.
+Rare hanzi outside the pinyin table fall back to the CTC dictionary's
+``<star>`` wildcard, which keeps alignment defined if not exact
+uroman output.
 """
 
 from __future__ import annotations

@@ -22,12 +22,17 @@ string munging on the TPU). Coverage, per script:
   simplified characters (``pinyin_data.PINYIN``); rarer hanzi pass
   through and fall back to ``<star>`` in the aligner dictionary,
   which keeps alignment well-defined
+* Brahmic abugidas beyond Devanagari (Bengali, Gurmukhi, Gujarati,
+  Oriya, Tamil, Telugu, Kannada, Malayalam), Sinhala, Thai, Lao,
+  Khmer, Myanmar, Ethiopic — via ``uroman_ext`` (one ISCII-offset
+  table covers the nine aligned Indic blocks; see that module)
 """
 
 from __future__ import annotations
 
 import unicodedata
 
+from . import uroman_ext
 from .pinyin_data import PINYIN
 
 _CYRILLIC = {
@@ -216,6 +221,14 @@ def romanize(text: str) -> str:
             i += 1
             continue
 
+        # extended scripts (Brahmic/Sinhala/Thai/Lao/Khmer/Myanmar/
+        # Ethiopic) — uroman_ext owns those blocks entirely
+        if uroman_ext.covers(cp):
+            nxt = uroman_ext.handle(text, i, out)
+            if nxt is not None:
+                i = nxt
+                continue
+
         # Devanagari: consonant + (matra | virama | inherent a)
         if 0x0900 <= cp <= 0x097F:
             if ch in _DEVANAGARI_CONS:
@@ -270,6 +283,8 @@ def needs_romanization(text: str) -> bool:
             or 0x3040 <= cp <= 0x30FF  # kana
             or 0x4E00 <= cp <= 0x9FFF  # Han (pinyin table)
             or 0xAC00 <= cp <= 0xD7A3  # Hangul
+            or uroman_ext.covers(cp)  # Brahmic/Sinhala/Thai/Lao/
+            #                           Khmer/Myanmar/Ethiopic
         ):
             return True
     return False
