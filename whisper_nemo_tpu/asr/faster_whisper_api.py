@@ -30,7 +30,21 @@ from ..text.languages import langs_to_iso
 
 @dataclass
 class Word:
-    """faster-whisper's per-word record (``word_timestamps=True``)."""
+    """faster-whisper's per-word record (``word_timestamps=True``).
+
+    ``probability`` semantics differ from upstream faster-whisper by
+    design: upstream derives it from the decoder's attention-DTW word
+    alignment (mean token probability along the DTW path), while this
+    engine stamps words with the CTC forced aligner and reports the
+    **mean per-frame CTC posterior** of the word's aligned span —
+    ``mean(exp(log_softmax(emissions)[t, label_t]))`` over the word's
+    frames (reference call shape: diarize.py:121-145 with
+    ``word_timestamps=True``). Both live in [0, 1] and read as "how
+    confidently the acoustic model supports this word here", but the
+    distributions are not interchangeable: CTC posteriors are sharper
+    (near-1 on clean matches, near-0 on forced mismatches), so a
+    threshold tuned on faster-whisper output needs re-tuning here.
+    """
 
     start: float
     end: float
@@ -75,8 +89,13 @@ def _attach_word_timestamps(
     for seg in segments:
         seg.words = []
     for w in words:
+        # clamp defensively: the aligner's mean-exp posterior is in
+        # [0, 1] by construction (see Word.probability), but fp noise
+        # at the log/exp boundary must never leak a 1.0000001 to
+        # callers that assume faster-whisper's [0, 1] contract
+        prob = min(1.0, max(0.0, float(w["score"])))
         spoken[w["segment"]].words.append(
-            Word(w["start"], w["end"], w["text"], w["score"])
+            Word(w["start"], w["end"], w["text"], prob)
         )
 
 
