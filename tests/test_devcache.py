@@ -129,3 +129,24 @@ def test_transcribe_batched_device_gather_output_unchanged():
     )
     assert [s.text for s in segs1] == [s.text for s in segs2]
     assert [s.tokens for s in segs1] == [s.tokens for s in segs2]
+
+
+def test_clear_cache_runs_registered_hooks():
+    """clear_cache() must also drop module-level jit caches registered
+    by models (htdemucs pins executables + device constants otherwise;
+    ADVICE r4)."""
+    from whisper_nemo_tpu.audio import devcache
+
+    calls = []
+    devcache.register_clear_hook(lambda: calls.append(1))
+    devcache.clear_cache()
+    assert calls == [1]
+
+
+def test_htdemucs_registers_apply_cache_clearer():
+    from whisper_nemo_tpu.audio import devcache
+    from whisper_nemo_tpu.models import htdemucs
+
+    assert htdemucs.clear_apply_cache in devcache._clear_hooks
+    # smoke: clearing with an empty cache is a no-op
+    htdemucs.clear_apply_cache()

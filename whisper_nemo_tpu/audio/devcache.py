@@ -69,7 +69,29 @@ def device_waveform(audio):
     return dev
 
 
+_clear_hooks: list = []
+
+
+def register_clear_hook(fn) -> None:
+    """Register a callable to run on ``clear_cache()``.
+
+    Long-lived bench/serving sessions reclaim HBM between steps via
+    ``engine.unload()`` + ``clear_cache()`` (CLAUDE.md environment
+    rules); any module that pins device buffers or jitted executables
+    in its own module-level cache (e.g. ``models.htdemucs``'s window-
+    batch jit, which holds an ``idx_dev`` constant and one executable
+    per padded audio length) registers its clearer here so those
+    survive neither."""
+    with _lock:
+        if fn not in _clear_hooks:
+            _clear_hooks.append(fn)
+
+
 def clear_cache() -> None:
-    """Drop every cached device waveform (frees the HBM buffers)."""
+    """Drop every cached device waveform (frees the HBM buffers) and
+    run registered module-cache clearers."""
     with _lock:
         _cache.clear()
+        hooks = list(_clear_hooks)
+    for fn in hooks:
+        fn()

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..audio import devcache
 from ..engine.checkpoint import load_params, model_cache_dir
 from ..ops.framing import frame_signal
 from ..utils import get_logger
@@ -787,6 +788,19 @@ def infer_dims(flat_state: Dict[str, np.ndarray]) -> HTDemucsDims:
 
 
 # -- long-audio application -----------------------------------------------------
+
+
+def clear_apply_cache() -> None:
+    """Drop the jitted window-batch executables and their device
+    constants. Wired into ``audio.devcache.clear_cache()`` (below) so
+    long-lived multi-step sessions reclaim them alongside the waveform
+    cache — without this, each distinct padded audio length pinned one
+    compiled executable plus the ``idx_dev`` constant for the process
+    lifetime, outside the ``engine.unload()`` reclamation path."""
+    _apply_batch_fn.cache_clear()
+
+
+devcache.register_clear_hook(clear_apply_cache)
 
 
 @lru_cache(maxsize=8)
