@@ -86,7 +86,10 @@ def main() -> None:
     ap.add_argument("--seconds", type=int, default=3600)
     ap.add_argument(
         "--mode",
-        choices=["e2e", "parallel", "sequential", "serving", "streaming"],
+        choices=[
+            "e2e", "parallel", "sequential", "serving", "streaming",
+            "handler",
+        ],
         default="e2e",
         help="e2e: batched ASR + align + diarize; parallel: the "
         "branch-parallel flow (diarization concurrent with "
@@ -96,7 +99,9 @@ def main() -> None:
         "serving: the WindowScheduler exactly as the handler runs it "
         "(timestamped, serving batch, first-request vs steady-state "
         "latency); streaming: real-time chunked feed, word-commit "
-        "latency",
+        "latency; handler: the serverless handler(job) end-to-end — "
+        "download skipped, ASR + diarization + merge + response "
+        "build, plus concurrent-job scaling",
     )
     ap.add_argument(
         "--runs", type=int, default=3,
@@ -153,6 +158,15 @@ def main() -> None:
         help="7.8 s separation windows per device dispatch",
     )
     ap.add_argument(
+        "--tokens-per-window", type=int, default=0,
+        help="force exactly N decoded tokens per 30 s window (e2e/"
+        "parallel/handler modes; 0 = the default 64-96 band that "
+        "brackets real speech at ~2.5-3 tokens/s). The headline's "
+        "sensitivity knob: sweep 64/128/224 to see RTF vs transcript "
+        "density — 224 is Whisper's hard per-window ceiling, i.e. "
+        "wall-to-wall dense speech (VERDICT r4 weak #1)",
+    )
+    ap.add_argument(
         "--refresh", type=float, default=1.0,
         help="streaming mode: min seconds of new audio between decode "
         "refreshes (commit latency floors at ~agreement*refresh-chunk)",
@@ -194,6 +208,12 @@ def main() -> None:
 
     log(f"device {dev_kind} (bf16 peak {peak} TFLOP/s)"
         if peak else f"device {dev_kind} (peak unknown)")
+
+    if args.mode == "handler":
+        # the handler loads its own model stack (load_models); building
+        # the bench engine too would double the HBM footprint
+        run_handler_bench(args, audio, audio_seconds, args.runs, log)
+        return
 
     engine = WhisperEngine(
         args.model, compute_type=args.compute_type, kv_bits=args.kv_bits
@@ -287,11 +307,15 @@ def main() -> None:
     # ~150 wpm synthetic transcript for the alignment stage (the ASR
     # text is unusable with random weights; the aligner cost depends on
     # per-segment frame x label counts, which this matches). One timed
-    # segment per 25 s span, like the batched ASR path produces.
+    # segment per 25 s span, like the batched ASR path produces. A
+    # --tokens-per-window sweep scales the word rate proportionally
+    # (the 64-96 default band centers on ~80 tok/window ≈ 150 wpm), so
+    # the align stage sees the same density the decode stage pays for.
+    wpm = int(150 * (args.tokens_per_window or 80) / 80)
     words = ("hello world this is a benchmark transcript " * 250).split()
     transcript_words = (
-        words * (audio_seconds * 150 // 60 // len(words) + 1)
-    )[: audio_seconds * 150 // 60]
+        words * (audio_seconds * wpm // 60 // len(words) + 1)
+    )[: audio_seconds * wpm // 60]
     seg_len_s = 25
     wps = len(transcript_words) / audio_seconds
     timed_segments = []
@@ -323,12 +347,13 @@ def main() -> None:
             window_batch = args.batch_size
         else:
             window_batch = max(1, args.batch_size // args.beam)
+        tpw = args.tokens_per_window
         segments, info = engine.transcribe_batched(
             audio,
             language="en",
             batch_size=window_batch,
-            min_new_tokens=64,
-            max_new_tokens=96,
+            min_new_tokens=tpw or 64,
+            max_new_tokens=tpw or 96,
             beam_size=args.beam,
         )
         timings["asr"] = time.time() - t0
@@ -414,7 +439,9 @@ def main() -> None:
     rtf = audio_seconds / total
 
     n_windows = int(np.ceil(audio_seconds / 30))
-    flops = whisper_asr_flops(engine.dims, n_windows, 80.0)
+    flops = whisper_asr_flops(
+        engine.dims, n_windows, float(args.tokens_per_window or 80)
+    )
     tflops_s = flops / timings["asr"] / 1e12
     mfu = tflops_s / peak if peak else None
 
@@ -437,6 +464,7 @@ def main() -> None:
                     "segments": n_segs,
                     "aligned_words": n_words,
                     "speaker_turns": n_turns,
+                    "tokens_per_window": args.tokens_per_window or "64-96",
                     "asr_analytic_tflops": round(flops / 1e12, 1),
                     "asr_tflops_per_s": round(tflops_s, 2),
                     "asr_mfu_vs_bf16_peak": (
@@ -449,6 +477,137 @@ def main() -> None:
         file=sys.stderr,
     )
     engine.unload()
+
+
+def run_handler_bench(args, audio, audio_seconds, runs, log):
+    """The serverless handler benched at the job scope (VERDICT r4
+    weak #4): ``handler(job)`` end-to-end — request validation, ASR via
+    the shared WindowScheduler, diarization, overlap merge, smoothing,
+    readable-transcript build, statistics — everything the reference's
+    request-scoped ``processing_time`` covers (main.py:361-486) except
+    the network download, which is stubbed with a local-file link.
+    Reports the job-level RTF on the full duration, then the
+    concurrency story: one 600 s job solo vs four submitted together
+    (jobs share the scheduler's decode batches; diarization runs in
+    executor threads)."""
+    import os
+    import tempfile
+
+    os.environ["WNT_SERVING_MODEL"] = args.model
+    import asyncio
+
+    import importlib
+
+    # the module, not the re-exported handler() function that
+    # serving/__init__ shadows the submodule name with
+    H = importlib.import_module("whisper_nemo_tpu.serving.handler")
+    from whisper_nemo_tpu.audio.wav import write_wav
+    from whisper_nemo_tpu.serving.scheduler import WindowScheduler
+
+    H.load_models(warm=False)
+    # rebuild the scheduler with the bench's forced decode density
+    # (random weights never emit EOT; without the cap every window
+    # decodes to the 224 ceiling — same reasoning as asr_stage)
+    tpw = args.tokens_per_window
+    H.window_scheduler.shutdown()
+    H.window_scheduler = WindowScheduler(
+        H.whisper_model.engine,
+        batch_size=int(os.environ.get("WNT_SERVING_BATCH", "16")),
+        without_timestamps=False,
+        min_new_tokens=tpw or 64,
+        max_new_tokens=tpw or 96,
+    )
+    H.warmup()
+
+    tmp = tempfile.mkdtemp(prefix="wnt_handler_bench_")
+    files = {"full.wav": os.path.join(tmp, "full.wav")}
+    write_wav(files["full.wav"], audio)
+    short_seconds = min(600, audio_seconds)
+    files["short.wav"] = os.path.join(tmp, "short.wav")
+    write_wav(files["short.wav"], audio[: short_seconds * 16000])
+
+    async def fake_download(url: str) -> str:
+        # fresh hard link per job: the handler unlinks its temp file
+        # in its finally block (main.py contract), and concurrent jobs
+        # must not delete each other's input
+        name = url.rsplit("/", 1)[-1]
+        path = os.path.join(
+            tmp, f"job{os.urandom(4).hex()}_{name}"
+        )
+        os.link(files[name], path)
+        return path
+
+    H.download_audio_file = fake_download
+
+    def job(name):
+        return {
+            "id": "bench",
+            "input": {
+                "audio_url": f"https://bench.local/{name}",
+                "language": "en",
+            },
+        }
+
+    async def run_jobs(names):
+        t0 = time.time()
+        results = await asyncio.gather(*(H.handler(job(n)) for n in names))
+        wall = time.time() - t0
+        for r in results:
+            assert r.get("success"), r.get("error")
+        return wall, results
+
+    log("warmup job (compiles diarizer at job shapes)")
+    wall, _ = asyncio.run(run_jobs(["full.wav"]))
+    log(f"warmup handler job {wall:.1f}s")
+
+    best = None
+    for i in range(runs):
+        wall, results = asyncio.run(run_jobs(["full.wav"]))
+        log(
+            f"measured-{i + 1} handler job {wall:.1f}s "
+            f"(processing_time {results[0]['processing_time']:.1f}s, "
+            f"{results[0]['statistiques'].get('nombre_segments')} segments)"
+        )
+        best = wall if best is None else min(best, wall)
+    rtf = audio_seconds / best
+
+    # concurrency: one short job solo, then four together
+    solo, _ = asyncio.run(run_jobs(["short.wav"]))
+    log(f"short job solo {solo:.1f}s ({short_seconds}s audio)")
+    concurrent_wall, results4 = asyncio.run(run_jobs(["short.wav"] * 4))
+    agg_rtf = 4 * short_seconds / concurrent_wall
+    log(
+        f"4 concurrent short jobs wall {concurrent_wall:.1f}s "
+        f"(aggregate {agg_rtf:.0f}x vs solo {short_seconds / solo:.0f}x; "
+        f"per-job processing_time "
+        f"{[round(r['processing_time'], 1) for r in results4]})"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "handler_job_rtf",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / NORTH_STAR_RTF, 3),
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "mode": "handler",
+                    "audio_seconds": audio_seconds,
+                    "job_wall_s": round(best, 2),
+                    "short_job_solo_s": round(solo, 2),
+                    "concurrent4_wall_s": round(concurrent_wall, 2),
+                    "concurrent4_aggregate_rtf": round(agg_rtf, 1),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
 
 
 def run_sequential_bench(engine, audio, audio_seconds, runs, log):

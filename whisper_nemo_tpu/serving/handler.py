@@ -176,16 +176,19 @@ async def process_transcription_optimized(
                 None, _transcribe_via_scheduler, audio_path, language
             )
         else:
-            transcription = whisper_model.transcribe(
-                audio_path,
-                language=language,
-                fp16=True,
-                condition_on_previous_text=False,
-                no_speech_threshold=0.6,
-                logprob_threshold=-1.0,
-                compression_ratio_threshold=2.4,
-                temperature=0.0,
-                verbose=False,
+            transcription = await asyncio.get_running_loop().run_in_executor(
+                None,
+                lambda: whisper_model.transcribe(
+                    audio_path,
+                    language=language,
+                    fp16=True,
+                    condition_on_previous_text=False,
+                    no_speech_threshold=0.6,
+                    logprob_threshold=-1.0,
+                    compression_ratio_threshold=2.4,
+                    temperature=0.0,
+                    verbose=False,
+                ),
             )
 
         # device utilization after the ASR stage (the reference polls
@@ -215,7 +218,13 @@ async def process_transcription_optimized(
                 processing_time=elapsed,
             )
 
-        turns = _diarization_turns(
+        # off the event loop for the same reason as the ASR stage: a
+        # blocking diarization here would stall every other in-flight
+        # job's submissions (and their /run responses) for the whole
+        # diarize wall-time
+        turns = await asyncio.get_running_loop().run_in_executor(
+            None,
+            _diarization_turns,
             audio_path,
             request.num_speakers,
             request.min_speakers,
