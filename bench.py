@@ -609,6 +609,14 @@ def run_handler_bench(args, audio, audio_seconds, runs, log):
         file=sys.stderr,
     )
 
+    # release the handler's module-global model stack so a long-lived
+    # bench session (tools/bench_session.py) reclaims the HBM
+    H.window_scheduler.shutdown()
+    H.whisper_model.engine.unload()
+    H.whisper_model = None
+    H.diarization_pipeline = None
+    H.window_scheduler = None
+
 
 def run_sequential_bench(engine, audio, audio_seconds, runs, log):
     """RTF of the window-serial timestamped decode path — the one the

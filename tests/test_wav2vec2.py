@@ -105,3 +105,60 @@ def test_ctc_logits_parity_stable_layer_norm():
         theirs = model(torch.from_numpy(wave)).logits.numpy()
     ours = np.asarray(ctc_logits(params, jnp.asarray(wave), dims))
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+@pytest.mark.parametrize("t_samples", [4000, 4001, 16000 * 3 + 7])
+def test_feature_extractor_gemm_parity(t_samples):
+    """The frame+GEMM frontend formulation is element-exact vs the
+    conv formulation at the MMS conv spec (k/s = 10/5, 3/2, 2/2),
+    including ragged lengths (VERDICT r4 next #5)."""
+    from whisper_nemo_tpu.models.wav2vec2 import (
+        feature_extractor,
+        feature_extractor_gemm,
+    )
+
+    dims = Wav2Vec2Dims(
+        vocab_size=32,
+        hidden_size=64,
+        num_layers=1,
+        num_heads=4,
+        intermediate_size=128,
+        conv_dim=(24,) * 7,
+        conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+        conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        do_stable_layer_norm=True,
+    )
+    params = init_wav2vec2_params(jax.random.PRNGKey(0), dims)
+    wave = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, t_samples)),
+        jnp.float32,
+    )
+    a = np.asarray(feature_extractor(params["fe"], wave, dims))
+    b = np.asarray(feature_extractor_gemm(params["fe"], wave, dims))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_ctc_logits_frontend_env_switch(monkeypatch):
+    """WNT_W2V2_FRONTEND=gemm routes ctc_logits through the GEMM
+    frontend with identical results."""
+    dims = Wav2Vec2Dims(
+        vocab_size=32,
+        hidden_size=64,
+        num_layers=1,
+        num_heads=4,
+        intermediate_size=128,
+        conv_dim=(24, 24),
+        conv_kernel=(10, 3),
+        conv_stride=(5, 2),
+        do_stable_layer_norm=False,
+    )
+    params = init_wav2vec2_params(jax.random.PRNGKey(1), dims)
+    wave = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 8000)), jnp.float32
+    )
+    monkeypatch.delenv("WNT_W2V2_FRONTEND", raising=False)
+    ref = np.asarray(ctc_logits(params, wave, dims))
+    monkeypatch.setenv("WNT_W2V2_FRONTEND", "gemm")
+    got = np.asarray(ctc_logits(params, wave, dims))
+    np.testing.assert_allclose(got, ref, atol=2e-5)

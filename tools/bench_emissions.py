@@ -41,6 +41,7 @@ def main():
         _ln,
         encoder,
         feature_extractor,
+        feature_extractor_gemm,
     )
 
     def log(msg):
@@ -60,6 +61,10 @@ def main():
     @jax.jit
     def fe(p, wave):
         return feature_extractor(p["fe"], wave.astype(dtype), dims)
+
+    @jax.jit
+    def fe_gemm(p, wave):
+        return feature_extractor_gemm(p["fe"], wave.astype(dtype), dims)
 
     @jax.jit
     def enc_from_feats(p, feats):
@@ -102,6 +107,13 @@ def main():
         )
         feats = fe(params, wave)
         ms_fe = best_of(fe, wave)
+        ms_fe_gemm = best_of(fe_gemm, wave)
+        # exactness guard: the GEMM frames must hold the conv's values
+        np.testing.assert_allclose(
+            np.asarray(fe_gemm(params, wave), np.float32),
+            np.asarray(feats, np.float32),
+            atol=5e-2 if dtype != np.float32 else 1e-4,
+        )
         ms_enc = best_of(enc_from_feats, feats)
         hidden = enc_from_feats(params, feats)
         ms_head = best_of(head, hidden)
@@ -114,12 +126,14 @@ def main():
         )
         tflops = flops / 1e12 / (ms_enc / 1e3)
         log(
-            f"B{b}: fe {ms_fe:.1f} ms  enc {ms_enc:.1f} ms "
+            f"B{b}: fe {ms_fe:.1f} ms  fe_gemm {ms_fe_gemm:.1f} ms  "
+            f"enc {ms_enc:.1f} ms "
             f"({tflops:.1f} TFLOP/s) head {ms_head:.1f} ms  "
             f"full {ms_full:.1f} ms  (frames {t_frames})"
         )
         results[f"b{b}"] = {
             "fe_ms": round(ms_fe, 1),
+            "fe_gemm_ms": round(ms_fe_gemm, 1),
             "enc_ms": round(ms_enc, 1),
             "head_ms": round(ms_head, 1),
             "full_ms": round(ms_full, 1),

