@@ -556,66 +556,82 @@ def run_handler_bench(args, audio, audio_seconds, runs, log):
             assert r.get("success"), r.get("error")
         return wall, results
 
-    log("warmup job (compiles diarizer at job shapes)")
-    wall, _ = asyncio.run(run_jobs(["full.wav"]))
-    log(f"warmup handler job {wall:.1f}s")
+    def run_jobs_sync(names):
+        out = asyncio.run(run_jobs(names))
+        # each job leaves hour-scale device intermediates (align
+        # trellis chunks, diarizer embeddings) behind reference
+        # cycles; without a forced collection the second 1 h job OOMs
+        # HBM (RESOURCE_EXHAUSTED — the CLAUDE.md gen-2 GC failure
+        # mode, reproduced in the first r5 bench session)
+        import gc
 
-    best = None
-    for i in range(runs):
-        wall, results = asyncio.run(run_jobs(["full.wav"]))
+        gc.collect()
+        return out
+
+    try:
+        log("warmup job (compiles diarizer at job shapes)")
+        wall, _ = run_jobs_sync(["full.wav"])
+        log(f"warmup handler job {wall:.1f}s")
+
+        best = None
+        for i in range(runs):
+            wall, results = run_jobs_sync(["full.wav"])
+            log(
+                f"measured-{i + 1} handler job {wall:.1f}s "
+                f"(processing_time {results[0]['processing_time']:.1f}s, "
+                f"{results[0]['statistiques'].get('nombre_segments')} "
+                f"segments)"
+            )
+            best = wall if best is None else min(best, wall)
+        rtf = audio_seconds / best
+
+        # concurrency: one short job solo, then four together
+        solo, _ = run_jobs_sync(["short.wav"])
+        log(f"short job solo {solo:.1f}s ({short_seconds}s audio)")
+        concurrent_wall, results4 = run_jobs_sync(["short.wav"] * 4)
+        agg_rtf = 4 * short_seconds / concurrent_wall
         log(
-            f"measured-{i + 1} handler job {wall:.1f}s "
-            f"(processing_time {results[0]['processing_time']:.1f}s, "
-            f"{results[0]['statistiques'].get('nombre_segments')} segments)"
+            f"4 concurrent short jobs wall {concurrent_wall:.1f}s "
+            f"(aggregate {agg_rtf:.0f}x vs solo "
+            f"{short_seconds / solo:.0f}x; per-job processing_time "
+            f"{[round(r['processing_time'], 1) for r in results4]})"
         )
-        best = wall if best is None else min(best, wall)
-    rtf = audio_seconds / best
 
-    # concurrency: one short job solo, then four together
-    solo, _ = asyncio.run(run_jobs(["short.wav"]))
-    log(f"short job solo {solo:.1f}s ({short_seconds}s audio)")
-    concurrent_wall, results4 = asyncio.run(run_jobs(["short.wav"] * 4))
-    agg_rtf = 4 * short_seconds / concurrent_wall
-    log(
-        f"4 concurrent short jobs wall {concurrent_wall:.1f}s "
-        f"(aggregate {agg_rtf:.0f}x vs solo {short_seconds / solo:.0f}x; "
-        f"per-job processing_time "
-        f"{[round(r['processing_time'], 1) for r in results4]})"
-    )
-
-    print(
-        json.dumps(
-            {
-                "metric": "handler_job_rtf",
-                "value": round(rtf, 2),
-                "unit": "x_realtime",
-                "vs_baseline": round(rtf / NORTH_STAR_RTF, 3),
-            }
-        )
-    )
-    print(
-        json.dumps(
-            {
-                "detail": {
-                    "mode": "handler",
-                    "audio_seconds": audio_seconds,
-                    "job_wall_s": round(best, 2),
-                    "short_job_solo_s": round(solo, 2),
-                    "concurrent4_wall_s": round(concurrent_wall, 2),
-                    "concurrent4_aggregate_rtf": round(agg_rtf, 1),
+        print(
+            json.dumps(
+                {
+                    "metric": "handler_job_rtf",
+                    "value": round(rtf, 2),
+                    "unit": "x_realtime",
+                    "vs_baseline": round(rtf / NORTH_STAR_RTF, 3),
                 }
-            }
-        ),
-        file=sys.stderr,
-    )
-
-    # release the handler's module-global model stack so a long-lived
-    # bench session (tools/bench_session.py) reclaims the HBM
-    H.window_scheduler.shutdown()
-    H.whisper_model.engine.unload()
-    H.whisper_model = None
-    H.diarization_pipeline = None
-    H.window_scheduler = None
+            )
+        )
+        print(
+            json.dumps(
+                {
+                    "detail": {
+                        "mode": "handler",
+                        "audio_seconds": audio_seconds,
+                        "job_wall_s": round(best, 2),
+                        "short_job_solo_s": round(solo, 2),
+                        "concurrent4_wall_s": round(concurrent_wall, 2),
+                        "concurrent4_aggregate_rtf": round(agg_rtf, 1),
+                    }
+                }
+            ),
+            file=sys.stderr,
+        )
+    finally:
+        # release the handler's module-global model stack even on
+        # failure — the first r5 session leaked it after an OOM and
+        # every later step in the long-lived process failed on the
+        # pinned HBM
+        H.window_scheduler.shutdown()
+        H.whisper_model.engine.unload()
+        H.whisper_model = None
+        H.diarization_pipeline = None
+        H.window_scheduler = None
 
 
 def run_sequential_bench(engine, audio, audio_seconds, runs, log):
