@@ -501,6 +501,12 @@ def run_handler_bench(args, audio, audio_seconds, runs, log):
     # the module, not the re-exported handler() function that
     # serving/__init__ shadows the submodule name with
     H = importlib.import_module("whisper_nemo_tpu.serving.handler")
+    # if an earlier step in a long-lived session already imported the
+    # serving package, the module-level default (the reference's
+    # large-v2, handler.py:34) was baked before the env var above was
+    # set — pin the bench's model explicitly (the r5 session-2 handler
+    # measurement silently ran large-v2 this way)
+    H.WHISPER_MODEL_NAME = args.model
     from whisper_nemo_tpu.audio.wav import write_wav
     from whisper_nemo_tpu.serving.scheduler import WindowScheduler
 

@@ -252,6 +252,35 @@ def test_spectral_cluster_device_nystrom_branch():
     assert _clustering_accuracy(labels, true) > 0.95
 
 
+def test_spectral_cluster_device_lobpcg_matches_dense():
+    """The mid-size dense branch routed through the device LOBPCG
+    (WNT_DEVICE_EIG=1) labels identically to the host full-eigh path
+    (=0): k-means on the spectral embedding is invariant to the basis
+    chosen within the k-smallest invariant subspace. This is the path
+    the meeting preset's hour workload takes (n_base≈4000, just under
+    the Nyström threshold, where the host eigh measured 20.8 s on
+    chip — BASELINE.md r5)."""
+    import os
+
+    from whisper_nemo_tpu.diarize import clustering as cl
+
+    embs, true = _gaussian_speakers(80, 3, seed=11)  # n=240
+    aff = cl.multiscale_affinity(embs[None], np.array([1.0]))
+    assert not isinstance(aff, np.ndarray)
+    try:
+        os.environ["WNT_DEVICE_EIG"] = "0"
+        dense = cl.spectral_cluster_device(aff, p_neighbors=48,
+                                           n_speakers=3)
+        os.environ["WNT_DEVICE_EIG"] = "1"
+        lobpcg = cl.spectral_cluster_device(aff, p_neighbors=48,
+                                            n_speakers=3)
+    finally:
+        os.environ.pop("WNT_DEVICE_EIG", None)
+    assert _clustering_accuracy(dense, true) > 0.95
+    assert _clustering_accuracy(lobpcg, true) > 0.95
+    assert _clustering_accuracy(lobpcg, dense) == 1.0
+
+
 def test_map_scales_to_base_matches_bruteforce():
     """The O(n log m) bisection mapping equals the naive
     nearest-center argmin (including first-index tie-breaking)."""

@@ -46,6 +46,14 @@ def _release_device_memory():
     try:
         import jax
 
+        # drop compiled executables too: their program allocations
+        # survive engine.unload(), and a heavy step's cache (e.g.
+        # config3's large-v3 + demucs + meeting-diarizer programs)
+        # left the r5 session-3 handler step with too little HBM for
+        # its second job (RESOURCE_EXHAUSTED) even though every array
+        # was reclaimed
+        jax.clear_caches()
+
         stats = jax.local_devices()[0].memory_stats()
         if stats:
             used = stats.get("bytes_in_use", 0) / 1e9
@@ -234,6 +242,13 @@ STEPS = {
     "config3": lambda: _run_mode(
         ["--model", "large-v3", "--demucs", "--domain", "meeting",
          "--compute-type", "int8", "--runs", "2"]
+    ),
+    # r5: attribute config 3's diarize stage (18.1 s at the meeting
+    # preset vs 1.9 s telephonic at the hour — which mark grows:
+    # vad / embed / affinity / cluster / msdd?)
+    "config3_debug": lambda: _debug_timing_run(
+        ["--model", "large-v3", "--demucs", "--domain", "meeting",
+         "--compute-type", "int8", "--runs", "1"]
     ),
     "e2e4h": lambda: _run_mode(
         ["--seconds", "14400", "--compute-type", "int8", "--runs", "2"]

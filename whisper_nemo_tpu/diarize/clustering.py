@@ -15,6 +15,7 @@ problems land on the TPU; the small search/k-means glue stays in numpy.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -516,13 +517,56 @@ def spectral_cluster_device(
         )
         return _kmeans(embedding, n_speakers, seed)
     else:
-        binarized = np.asarray(_binarize_device_jit(affinity_dev, p))
-        lap = laplacian(binarized)
-        _, evecs = eigen_decompose(lap)
-        embedding = evecs[:, :n_speakers]
+        if _use_device_eig(n):
+            # mid-size dense path on device: binarize + Laplacian stay
+            # in HBM and LOBPCG extracts only the k-smallest subspace
+            # (matmuls — seconds). The host alternative transfers the
+            # n² binarized matrix (64 MB at n≈4000, ~2 s of tunnel)
+            # and pays a full O(n³) LAPACK eigh on the 1-core box —
+            # measured 20.8 s inside the cluster mark at the meeting
+            # preset's hour workload (n_base=3987, just under the
+            # Nyström threshold; BASELINE.md r5).
+            lap_dev = _laplacian_device_jit(
+                _binarize_device_jit(affinity_dev, p)
+            )
+            from ..ops.eig import smallest_eigenpairs
+
+            _, embedding = smallest_eigenpairs(
+                lap_dev, n_speakers, subspace=n_speakers + 8
+            )
+        else:
+            binarized = np.asarray(_binarize_device_jit(affinity_dev, p))
+            lap = laplacian(binarized)
+            _, evecs = eigen_decompose(lap)
+            embedding = evecs[:, :n_speakers]
     norms = np.linalg.norm(embedding, axis=1, keepdims=True)
     embedding = embedding / np.maximum(norms, 1e-8)
     return _kmeans(embedding, n_speakers, seed)
+
+
+def _use_device_eig(n: int) -> bool:
+    """Route the ≤-threshold dense spectral path through the device
+    LOBPCG when the host full eigh would dominate (n ≳ 1500 costs
+    seconds-to-tens-of-seconds on the 1-core host). "auto" enables it
+    on real accelerators only; ``WNT_DEVICE_EIG=1/0`` forces/disables
+    (the parity test pins LOBPCG labels == dense-eigh labels with 1).
+    The k-means consuming the result is invariant to the basis chosen
+    within the k-smallest invariant subspace, so the two paths agree
+    wherever the eigengap is meaningful."""
+    mode = os.environ.get("WNT_DEVICE_EIG", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return n >= 64
+    return (
+        n >= 1536
+        and jax.devices()[0].platform in ("tpu", "axon")
+    )
+
+
+@jax.jit
+def _laplacian_device_jit(binarized: jnp.ndarray) -> jnp.ndarray:
+    return jnp.diag(binarized.sum(axis=1)) - binarized
 
 
 _NYSTROM_THRESHOLD = 4096

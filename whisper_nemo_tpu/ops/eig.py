@@ -21,29 +21,52 @@ from jax.experimental.sparse.linalg import lobpcg_standard
 
 
 def smallest_eigenpairs(
-    lap: np.ndarray, k: int, iters: int = 200, seed: int = 0
+    lap: np.ndarray,
+    k: int,
+    iters: int = 200,
+    seed: int = 0,
+    subspace: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """k smallest eigenpairs of a symmetric PSD matrix (ascending).
 
     Returns (eigenvalues [k], eigenvectors [n, k]). Falls back to host
     LAPACK when the matrix is too small for a stable LOBPCG subspace.
+
+    ``subspace`` (> k) widens the LOBPCG block beyond k: graph
+    Laplacians of binarized affinities have tightly clustered smallest
+    eigenvalues (near-components), which a k-wide block resolves
+    slowly; a wider block converges the whole low cluster and the
+    first k columns come out near-exact (same reasoning as the NME
+    probe's wide block below). For spectral clustering specifically,
+    ANY orthonormal basis of the k-smallest invariant subspace is
+    equivalent — the k-means step is rotation-invariant — so block
+    convergence, not per-vector convergence, is what matters.
     """
     n = lap.shape[0]
-    if n < max(8 * k, 64):
+    width = max(k, subspace)
+    if n < max(8 * width, 64):
         evals, evecs = np.linalg.eigh(np.asarray(lap, np.float64))
         return evals[:k].astype(np.float32), evecs[:, :k].astype(np.float32)
 
     lap_j = jnp.asarray(lap, jnp.float32)
-    # Gershgorin upper bound on the spectrum of L = D - A
-    sigma = float(2.0 * np.max(np.diag(lap)) + 1.0)
     rng = np.random.default_rng(seed)
-    x0 = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
-    w, v, _ = lobpcg_standard(
-        lambda x: sigma * x - lap_j @ x, x0, m=iters
-    )
-    evals = sigma - np.asarray(w)
-    order = np.argsort(evals)
+    x0 = jnp.asarray(rng.standard_normal((n, width)), jnp.float32)
+    w, v = _lobpcg_shifted_jit(lap_j, x0, iters)
+    evals = np.asarray(w)
+    order = np.argsort(evals)[:k]
     return evals[order], np.asarray(v)[:, order]
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _lobpcg_shifted_jit(lap: jnp.ndarray, x0: jnp.ndarray, iters: int):
+    """LOBPCG on the shifted operator σI − L (σ = Gershgorin bound, so
+    the smallest eigenpairs of L become the largest of the operator),
+    as ONE compiled program — called eagerly, lobpcg's iteration
+    dispatches hundreds of small ops through the tunnel-attached
+    device queue."""
+    sigma = 2.0 * jnp.max(jnp.diagonal(lap)) + 1.0
+    w, v, _ = lobpcg_standard(lambda x: sigma * x - lap @ x, x0, m=iters)
+    return sigma - w, v
 
 
 @partial(jax.jit, static_argnames=("candidates", "k", "subspace", "iters"))
