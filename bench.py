@@ -572,6 +572,25 @@ def run_handler_bench(args, audio, audio_seconds, runs, log):
         import gc
 
         gc.collect()
+        if os.environ.get("WNT_HANDLER_DEBUG"):
+            # the axon backend exposes no memory_stats; live_arrays()
+            # still sees every device buffer this process holds —
+            # shapes name the owner of whatever survives the per-job
+            # collection
+            import jax
+
+            arrs = jax.live_arrays()
+            total = sum(a.nbytes for a in arrs)
+            top = sorted(arrs, key=lambda a: -a.nbytes)[:10]
+            log(
+                f"live device arrays after gc: {len(arrs)} "
+                f"({total / 1e9:.2f} GB); top: "
+                + ", ".join(
+                    f"{tuple(a.shape)}/{a.dtype.name}/"
+                    f"{a.nbytes / 1e6:.0f}MB"
+                    for a in top
+                )
+            )
         return out
 
     try:

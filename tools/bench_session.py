@@ -260,6 +260,13 @@ STEPS = {
     # ASR via scheduler + diarization + merge + response build, then
     # 4 concurrent jobs
     "handler": lambda: _run_mode(["--mode", "handler"]),
+    # r5: the handler OOMs on the job AFTER warmup (sessions 1/3/4)
+    # while session 2 ran three 1 h jobs — this dumps live device
+    # arrays (count/GB/top shapes) after each job's gc to name the
+    # per-job survivor
+    "handler_debug": lambda: _env_run(
+        {"WNT_HANDLER_DEBUG": "1"}, ["--mode", "handler"]
+    ),
     # r5: wav2vec2 conv-frontend attribution (VERDICT r4 weak #3) —
     # conv vs frame+GEMM formulation + encoder/head split on chip
     "emissions": lambda: _run_tool("bench_emissions", []),

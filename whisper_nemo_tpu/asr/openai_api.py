@@ -25,8 +25,16 @@ from ..engine.transcribe import WhisperEngine
 
 
 class OpenAIWhisperModel:
-    def __init__(self, name: str, device=None):
-        compute = "bfloat16" if name.startswith("large") else "default"
+    def __init__(self, name: str, device=None, compute_type=None):
+        # openai-whisper's fp32-by-default is kept for the drop-in
+        # facade, with bf16 for large (its fp16 analogue on TPU);
+        # callers that know their deployment pass compute_type
+        # explicitly — the serving handler's f32 medium.en engine
+        # (weights AND batch-16 decode executables at 2x bf16 width)
+        # was what pushed its 1 h jobs into RESOURCE_EXHAUSTED (r5)
+        compute = compute_type or (
+            "bfloat16" if name.startswith("large") else "default"
+        )
         # string devices ("cuda"/"cpu") keep the openai-whisper call
         # signature; a jax.Device commits the engine to that chip
         jax_device = None if isinstance(device, str) else device
@@ -120,6 +128,12 @@ class OpenAIWhisperModel:
         }
 
 
-def load_model(name: str, device: Optional[str] = None) -> OpenAIWhisperModel:
-    """Contract: ``whisper.load_model`` (reference main.py:110)."""
-    return OpenAIWhisperModel(name, device)
+def load_model(
+    name: str, device: Optional[str] = None, compute_type: Optional[str] = None
+) -> OpenAIWhisperModel:
+    """Contract: ``whisper.load_model`` (reference main.py:110).
+
+    ``compute_type`` extends the openai-whisper signature (None keeps
+    its fp32/bf16-for-large behavior) so deployments can pin the
+    engine width — the serving handler passes int8."""
+    return OpenAIWhisperModel(name, device, compute_type=compute_type)

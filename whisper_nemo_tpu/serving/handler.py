@@ -67,7 +67,17 @@ def load_models(warm: bool = True) -> None:
         )
 
     logger.info("loading whisper %s", WHISPER_MODEL_NAME)
-    whisper_model = load_model(WHISPER_MODEL_NAME, device=asr_device)
+    # int8 weight-only is the measured-fastest serving width
+    # (BASELINE.md r3) and a quarter of the fp32 facade default the
+    # handler previously inherited — whose f32 weights + f32 batch-16
+    # decode executables left 1 h jobs RESOURCE_EXHAUSTED on the 16 GB
+    # chip (r5 live-array attribution). Mirrors the reference's
+    # reduced-precision serving choice (diarize.py:36: int8/fp16).
+    whisper_model = load_model(
+        WHISPER_MODEL_NAME,
+        device=asr_device,
+        compute_type=os.environ.get("WNT_SERVING_COMPUTE", "int8"),
+    )
     logger.info("loading diarization pipeline")
     diarization_pipeline = SpeakerDiarizationPipeline.from_pretrained(
         "speaker-diarization"
