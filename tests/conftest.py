@@ -49,3 +49,28 @@ def cpu_devices():
     devices = jax.devices()
     assert len(devices) == 8, devices
     return devices
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_process_memory_maps():
+    """Keep the process under the kernel's vm.max_map_count (65530).
+
+    XLA CPU leaves mapped code pages per compiled executable; across
+    the full ~450-test suite the map count crosses the cap near the
+    tail and the NEXT compile segfaults inside
+    ``backend_compile_and_load`` (reproduced twice at ~95%, different
+    tests each time — positional, not test-specific; ~13k maps at 15%
+    of the suite). Dropping the jit caches when the count gets high
+    bounds it; a module only pays recompiles when the cap is near.
+    """
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        n = 0
+    if n > 40_000:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+    yield
